@@ -1,0 +1,97 @@
+"""On-device ray generation (pure jax, static shapes).
+
+TPU re-design of the reference's per-step ray assembly
+(`/root/reference/models/dataset.py:547-792`): the whole image/mask stack
+lives in HBM; each training step gathers its ray batch on device from
+scalar frame ids + PRNG key.  Mask-guided sampling uses the precomputed
+per-frame bbox table instead of a host-side `np.where`
+(`dataset.py:643-655`), so there is no host->device traffic in the hot
+loop beyond the frame index.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "pixels_to_rays",
+    "gen_random_rays",
+    "gen_rays_grid",
+    "near_far_from_sphere",
+]
+
+
+def pixels_to_rays(px, py, intr_inv, pose):
+    """Pixel coords -> world rays.
+
+    px, py: [...] float pixel coordinates; intr_inv: [3, 3]; pose: [3, 4].
+    Returns (rays_o [..., 3], rays_d [..., 3], p_norm [..., 1]).
+    """
+    p = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)
+    p = p @ intr_inv[:3, :3].T
+    p_norm = jnp.linalg.norm(p, axis=-1, keepdims=True)
+    rays_v = p / p_norm
+    rays_v = rays_v @ pose[:3, :3].T
+    rays_o = jnp.broadcast_to(pose[:3, 3], rays_v.shape)
+    return rays_o, rays_v, p_norm
+
+
+def gen_random_rays(key, images, masks, intr_inv_all, pose, img_idx,
+                    batch_size: int, bbox_table, patch_size: int,
+                    mask_guided: bool, H: int, W: int):
+    """Random ray batch from one frame (`dataset.py:634-681`).
+
+    images: [N, H, W, 3], masks: [N, H, W], intr_inv_all: [N, 4, 4],
+    pose: [3, 4] c2w, img_idx: scalar int, bbox_table: [N, 4]
+    (ymin, ymax, xmin, xmax).  With mask_guided, 70% of draws restrict the
+    pixel window to the dilated mask bbox.
+
+    Returns data [batch, 10] = (rays_o, rays_d, color, mask).
+    """
+    k_guide, k_x, k_y = jax.random.split(key, 3)
+    if mask_guided:
+        use_bbox = jax.random.uniform(k_guide) < 0.7
+        y0, y1, x0, x1 = bbox_table[img_idx]
+        y_lo = jnp.where(use_bbox, jnp.maximum(y0 - patch_size, 0), 0)
+        y_hi = jnp.where(use_bbox, jnp.minimum(y1 + patch_size, H), H)
+        x_lo = jnp.where(use_bbox, jnp.maximum(x0 - patch_size, 0), 0)
+        x_hi = jnp.where(use_bbox, jnp.minimum(x1 + patch_size, W), W)
+    else:
+        y_lo, y_hi, x_lo, x_hi = 0, H, 0, W
+    px = jax.random.randint(k_x, (batch_size,), x_lo, x_hi)
+    py = jax.random.randint(k_y, (batch_size,), y_lo, y_hi)
+
+    color = images[img_idx][py, px]  # [batch, 3]
+    mask = masks[img_idx][py, px][..., None]  # [batch, 1]
+    rays_o, rays_v, _ = pixels_to_rays(
+        px.astype(jnp.float32), py.astype(jnp.float32),
+        intr_inv_all[img_idx], pose)
+    return jnp.concatenate([rays_o, rays_v, color, mask], axis=-1)
+
+
+def gen_flow_rays(pixels_xy, intr_inv, pose):
+    """Rays through match pixel coords [B, 2] with frame pose [3, 4]
+    (`dataset.py:683-792`). Returns (rays_o, rays_d)."""
+    rays_o, rays_v, _ = pixels_to_rays(
+        pixels_xy[:, 0], pixels_xy[:, 1], intr_inv, pose)
+    return rays_o, rays_v
+
+
+def gen_rays_grid(intr_inv, pose, H: int, W: int, resolution_level: int = 1):
+    """Full-frame ray grid for validation renders (`dataset.py:547-576`).
+    Returns rays_o, rays_d of shape [H//l, W//l, 3]."""
+    l = resolution_level
+    tx = jnp.linspace(0, W - 1, W // l)
+    ty = jnp.linspace(0, H - 1, H // l)
+    px, py = jnp.meshgrid(tx, ty, indexing="xy")
+    rays_o, rays_v, _ = pixels_to_rays(px, py, intr_inv, pose)
+    return rays_o, rays_v
+
+
+def near_far_from_sphere(rays_o, rays_d):
+    """mid -/+ 1 heuristic of the unit-sphere scene (`dataset.py:835-842`)."""
+    a = jnp.sum(rays_d**2, axis=-1, keepdims=True)
+    b = 2.0 * jnp.sum(rays_o * rays_d, axis=-1, keepdims=True)
+    mid = 0.5 * (-b) / a
+    return mid - 1.0, mid + 1.0

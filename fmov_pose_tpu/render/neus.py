@@ -1,0 +1,300 @@
+"""NeuS volume renderer as a pure, jittable function (TPU-native).
+
+Re-design of `/root/reference/models/renderer.py:89-498` with XLA-friendly
+structure:
+
+* One pure function ``render(key, params, cfg, rays_o, rays_d, near, far, ...)``
+  — all state (networks) in the `params` pytree, all randomness via the key.
+* The SDF-guided up-sampling loop is a statically-unrolled Python loop
+  (`up_sample_steps` is config), each step adding a fixed number of samples:
+  static shapes throughout, merged with `jnp.sort`/`take_along_axis`.
+* All per-sample math ([B, N] alphas, cumprod transmittance, compositing)
+  stays fused by XLA into the MLP matmul pipeline; batch = rays,
+  samples flattened into the matmul M dimension for the MXU.
+
+Numerics match the reference exactly: sigmoid-CDF alpha
+`(prev_cdf - next_cdf + 1e-5)/(prev_cdf + 1e-5)` clipped to [0, 1]
+(`renderer.py:304-314`), cos annealing (`:299-302`), 1e-7 cumprod epsilon,
+`inv_s = 64 * 2**i` upsample schedule (`:437`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fmov_pose_tpu.core.sampling import sample_pdf
+from fmov_pose_tpu.fields import nets
+
+Params = Dict[str, Any]
+
+
+class RenderCfg(NamedTuple):
+    n_samples: int
+    n_importance: int
+    n_outside: int
+    up_sample_steps: int
+    perturb: float
+
+
+def make_render_cfg(conf: Dict[str, Any]) -> RenderCfg:
+    return RenderCfg(
+        n_samples=int(conf["n_samples"]),
+        n_importance=int(conf["n_importance"]),
+        n_outside=int(conf["n_outside"]),
+        up_sample_steps=int(conf["up_sample_steps"]),
+        perturb=float(conf["perturb"]),
+    )
+
+
+def _transmittance_weights(alpha: jnp.ndarray) -> jnp.ndarray:
+    """weights = alpha * cumprod([1, 1-alpha+1e-7])[:, :-1] (`renderer.py:337-342`)."""
+    ones = jnp.ones_like(alpha[..., :1])
+    trans = jnp.cumprod(jnp.concatenate([ones, 1.0 - alpha + 1e-7], axis=-1), axis=-1)
+    return alpha * trans[..., :-1]
+
+
+def up_sample(params, model_cfg, rays_o, rays_d, z_vals, sdf, n_importance, inv_s):
+    """One SDF-guided importance-sampling pass (`renderer.py:168-220`)."""
+    batch_size, n_samples = z_vals.shape
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
+    radius = jnp.linalg.norm(pts, axis=-1)
+    inside_sphere = (radius[:, :-1] < 1.0) | (radius[:, 1:] < 1.0)
+    sdf = sdf.reshape(batch_size, n_samples)
+    prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
+    prev_z, next_z = z_vals[:, :-1], z_vals[:, 1:]
+    mid_sdf = (prev_sdf + next_sdf) * 0.5
+    cos_val = (next_sdf - prev_sdf) / (next_z - prev_z + 1e-5)
+
+    # use min(cos, prev_cos): robust against double-crossing sections
+    prev_cos = jnp.concatenate([jnp.zeros_like(cos_val[:, :1]), cos_val[:, :-1]], axis=-1)
+    cos_val = jnp.minimum(prev_cos, cos_val)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside_sphere
+
+    dist = next_z - prev_z
+    prev_esti = mid_sdf - cos_val * dist * 0.5
+    next_esti = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+    next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+    weights = _transmittance_weights(alpha)
+    return sample_pdf(z_vals, weights, n_importance)  # det, no grad needed
+
+
+def cat_z_vals(params, model_cfg, rays_o, rays_d, z_vals, new_z_vals, sdf, last: bool):
+    """Merge-sort new samples into z_vals, re-querying SDF (`renderer.py:222-242`)."""
+    batch_size, n_samples = z_vals.shape
+    _, n_importance = new_z_vals.shape
+    z_all = jnp.concatenate([z_vals, new_z_vals], axis=-1)
+    index = jnp.argsort(z_all, axis=-1)
+    z_sorted = jnp.take_along_axis(z_all, index, axis=-1)
+    if last:
+        return z_sorted, sdf
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
+    new_sdf = nets.sdf_only(params["sdf"], model_cfg["sdf"], pts.reshape(-1, 3))
+    new_sdf = new_sdf.reshape(batch_size, n_importance)
+    sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
+    sdf_sorted = jnp.take_along_axis(sdf_all, index, axis=-1)
+    return z_sorted, sdf_sorted
+
+
+def render_core_outside(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
+                        background_rgb=None):
+    """NeRF++ background shell (`renderer.py:112-166`)."""
+    batch_size, n_samples = z_vals.shape
+    dists = jnp.concatenate(
+        [z_vals[..., 1:] - z_vals[..., :-1],
+         jnp.full((batch_size, 1), sample_dist, z_vals.dtype)], axis=-1)
+    mid_z = z_vals + dists * 0.5
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., :, None]
+    dis_to_center = jnp.clip(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1.0, 1e10)
+    pts4 = jnp.concatenate([pts / dis_to_center, 1.0 / dis_to_center], axis=-1)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+
+    density, sampled_color = nets.nerf_apply(
+        params["nerf"], model_cfg["nerf"], pts4.reshape(-1, 4), dirs.reshape(-1, 3))
+    sampled_color = jax.nn.sigmoid(sampled_color).reshape(batch_size, n_samples, 3)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(density.reshape(batch_size, n_samples)) * dists)
+    weights = _transmittance_weights(alpha)
+    color = (weights[:, :, None] * sampled_color).sum(axis=1)
+    if background_rgb is not None:
+        color = color + background_rgb * (1.0 - weights.sum(axis=-1, keepdims=True))
+    return {"color": color, "sampled_color": sampled_color, "alpha": alpha,
+            "weights": weights}
+
+
+def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
+                background_alpha=None, background_sampled_color=None,
+                background_rgb=None, cos_anneal_ratio=1.0, eval_mode=False):
+    """SDF -> alpha -> composite (`renderer.py:244-372`)."""
+    batch_size, n_samples = z_vals.shape
+    dists = jnp.concatenate(
+        [z_vals[..., 1:] - z_vals[..., :-1],
+         jnp.full((batch_size, 1), sample_dist, z_vals.dtype)], axis=-1)
+    mid_z_vals = z_vals + dists * 0.5
+    pts = (rays_o[:, None, :] + rays_d[:, None, :] * mid_z_vals[..., :, None]).reshape(-1, 3)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (batch_size, n_samples, 3)).reshape(-1, 3)
+
+    sdf_cfg = model_cfg["sdf"]
+    sdf_nn = nets.sdf_apply(params["sdf"], sdf_cfg, pts)
+    sdf = sdf_nn[:, :1]
+    feature = sdf_nn[:, 1:]
+    gradients = nets.sdf_gradient(params["sdf"], sdf_cfg, pts)
+    if eval_mode:
+        gradients = jax.lax.stop_gradient(gradients)
+
+    sampled_color = nets.color_apply(
+        params["color"], model_cfg["color"], pts, gradients, dirs, feature
+    ).reshape(batch_size, n_samples, 3)
+
+    inv_s = nets.variance_inv_s(params["variance"])
+
+    true_cos = (dirs * gradients).sum(-1, keepdims=True)
+    # anneal keeps cos "alive" early in training (`renderer.py:297-302`)
+    iter_cos = -(
+        jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+        + jax.nn.relu(-true_cos) * cos_anneal_ratio
+    )
+
+    est_next_sdf = sdf + iter_cos * dists.reshape(-1, 1) * 0.5
+    est_prev_sdf = sdf - iter_cos * dists.reshape(-1, 1) * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev_sdf * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next_sdf * inv_s)
+    p = prev_cdf - next_cdf
+    c = prev_cdf
+    alpha = jnp.clip(((p + 1e-5) / (c + 1e-5)).reshape(batch_size, n_samples), 0.0, 1.0)
+
+    pts_norm = jnp.linalg.norm(pts, axis=-1).reshape(batch_size, n_samples)
+    inside_sphere = jax.lax.stop_gradient((pts_norm < 1.0).astype(alpha.dtype))
+    relax_inside_sphere = jax.lax.stop_gradient((pts_norm < 1.2).astype(alpha.dtype))
+
+    if background_alpha is not None:
+        alpha = alpha * inside_sphere + background_alpha[:, :n_samples] * (1.0 - inside_sphere)
+        alpha = jnp.concatenate([alpha, background_alpha[:, n_samples:]], axis=-1)
+        sampled_color = (
+            sampled_color * inside_sphere[:, :, None]
+            + background_sampled_color[:, :n_samples] * (1.0 - inside_sphere)[:, :, None]
+        )
+        sampled_color = jnp.concatenate(
+            [sampled_color, background_sampled_color[:, n_samples:]], axis=1)
+
+    weights = _transmittance_weights(alpha)
+    weights_sum = weights.sum(axis=-1, keepdims=True)
+    color = (sampled_color * weights[..., None]).sum(axis=1)
+    if background_rgb is not None:
+        color = color + background_rgb * (1.0 - weights_sum)
+
+    gradient_error = (jnp.linalg.norm(
+        gradients.reshape(batch_size, n_samples, 3), axis=-1) - 1.0) ** 2
+    gradient_error = (relax_inside_sphere * gradient_error).sum() / (
+        relax_inside_sphere.sum() + 1e-5)
+
+    return {
+        "color": color,
+        "sdf": sdf,
+        "dists": dists,
+        "gradients": gradients.reshape(batch_size, n_samples, 3),
+        "s_val": 1.0 / inv_s,
+        "mid_z_vals": mid_z_vals,
+        "weights": weights,
+        "cdf": c.reshape(batch_size, n_samples),
+        "gradient_error": gradient_error,
+        "inside_sphere": inside_sphere,
+        "pts": pts,
+    }
+
+
+def render(key, params, model_cfg, rays_o, rays_d, near, far,
+           perturb_overwrite: float = -1.0, background_rgb=None,
+           cos_anneal_ratio: float = 1.0, eval_mode: bool = False):
+    """Full hierarchical render (`renderer.py:374-498`). Returns the same
+    output dict as the reference (`color_fine`, `depth_fine`, `s_val`, ...)."""
+    cfg: RenderCfg = model_cfg["renderer"]
+    batch_size = rays_o.shape[0]
+    sample_dist = 2.0 / cfg.n_samples
+    z_lin = jnp.linspace(0.0, 1.0, cfg.n_samples)
+    z_vals = near + (far - near) * z_lin[None, :]
+
+    z_vals_outside = None
+    if cfg.n_outside > 0:
+        z_vals_outside = jnp.linspace(
+            1e-3, 1.0 - 1.0 / (cfg.n_outside + 1.0), cfg.n_outside)
+
+    perturb = cfg.perturb if perturb_overwrite < 0 else perturb_overwrite
+    if perturb > 0:
+        key, k1, k2 = jax.random.split(key, 3)
+        t_rand = jax.random.uniform(k1, (batch_size, 1)) - 0.5
+        z_vals = z_vals + t_rand * 2.0 / cfg.n_samples
+        if cfg.n_outside > 0:
+            mids = 0.5 * (z_vals_outside[1:] + z_vals_outside[:-1])
+            upper = jnp.concatenate([mids, z_vals_outside[-1:]])
+            lower = jnp.concatenate([z_vals_outside[:1], mids])
+            t_rand2 = jax.random.uniform(k2, (batch_size, cfg.n_outside))
+            z_vals_outside = lower[None, :] + (upper - lower)[None, :] * t_rand2
+
+    if cfg.n_outside > 0:
+        z_vals_outside = far / jnp.flip(
+            jnp.atleast_2d(z_vals_outside), axis=-1) + 1.0 / cfg.n_samples
+
+    background_alpha = None
+    background_sampled_color = None
+    n_samples_total = cfg.n_samples
+
+    if cfg.n_importance > 0:
+        # SDF-guided upsampling is gradient-free (`renderer.py:424` no_grad)
+        def _upsample(z_vals):
+            pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
+            sdf = nets.sdf_only(params["sdf"], model_cfg["sdf"], pts.reshape(-1, 3))
+            sdf = sdf.reshape(batch_size, cfg.n_samples)
+            for i in range(cfg.up_sample_steps):
+                new_z = up_sample(
+                    params, model_cfg, rays_o, rays_d, z_vals, sdf,
+                    cfg.n_importance // cfg.up_sample_steps, 64.0 * 2**i)
+                z_vals, sdf = cat_z_vals(
+                    params, model_cfg, rays_o, rays_d, z_vals, new_z, sdf,
+                    last=(i + 1 == cfg.up_sample_steps))
+            return z_vals
+
+        z_vals = jax.lax.stop_gradient(_upsample(jax.lax.stop_gradient(z_vals)))
+        n_samples_total = cfg.n_samples + cfg.n_importance
+
+    if cfg.n_outside > 0:
+        z_vals_feed = jnp.sort(
+            jnp.concatenate([z_vals, jnp.broadcast_to(
+                z_vals_outside, (batch_size, cfg.n_outside))], axis=-1), axis=-1)
+        ret_outside = render_core_outside(
+            params, model_cfg, rays_o, rays_d, z_vals_feed, sample_dist)
+        background_sampled_color = ret_outside["sampled_color"]
+        background_alpha = ret_outside["alpha"]
+
+    ret_fine = render_core(
+        params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
+        background_alpha=background_alpha,
+        background_sampled_color=background_sampled_color,
+        background_rgb=background_rgb,
+        cos_anneal_ratio=cos_anneal_ratio,
+        eval_mode=eval_mode,
+    )
+
+    weights = ret_fine["weights"]
+    weights_sum = weights.sum(axis=-1, keepdims=True)
+    s_val = jnp.broadcast_to(
+        ret_fine["s_val"], (batch_size, n_samples_total)).mean(axis=-1, keepdims=True)
+    depth_fine = (weights[:, :n_samples_total] * ret_fine["mid_z_vals"]).sum(
+        axis=-1, keepdims=True)
+
+    return {
+        "color_fine": ret_fine["color"],
+        "depth_fine": depth_fine,
+        "s_val": s_val,
+        "cdf_fine": ret_fine["cdf"],
+        "weight_sum": weights_sum,
+        "weight_max": jnp.max(weights, axis=-1, keepdims=True),
+        "gradients": ret_fine["gradients"],
+        "weights": weights,
+        "gradient_error": ret_fine["gradient_error"],
+        "inside_sphere": ret_fine["inside_sphere"],
+        "pts": ret_fine["pts"],
+    }
