@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: rays/sec/chip during joint pose+SDF training (north star).
+
+Runs the full phase-1-style training step (seg pose bank + NeuS render at
+32 samples/ray + eikonal double-backward + masked segment Adam) on
+synthetic 480x480 data and times steady-state steps on the attached chip.
+
+Baseline: the reference never publishes throughput (BASELINE.md). The
+envelope we compare against is the PyTorch reference's per-iteration work
+on an A100 — 512 rays x 32 samples per `loss.backward()` at a measured
+~15 it/s for comparable NeuS workloads => ~7.7e3 rays/s. `vs_baseline`
+is measured rays/s divided by that envelope (target >= 10x).
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_RAYS_PER_SEC = 7680.0  # 512 rays/iter * ~15 it/s envelope
+
+
+def build(batch_size):
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from fmov_pose_tpu.fields import nets
+    from fmov_pose_tpu.poses import picture_pose as pp
+    from fmov_pose_tpu.render import neus
+    from fmov_pose_tpu.train import optim, step as step_mod
+
+    model_cfg = ge._model_cfg(n_samples=32, n_importance=0)
+    params = ge._field_params(jax.random.key(0))
+
+    n_images, H, W = 8, 480, 480
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((n_images, H, W, 3)), jnp.float32)
+    masks = jnp.asarray((rng.random((n_images, H, W)) > 0.5), jnp.float32)
+    intr = np.eye(4, dtype=np.float32)
+    intr[0, 0] = intr[1, 1] = 500.0
+    intr[0, 2] = intr[1, 2] = 240.0
+    intr_inv = jnp.asarray(
+        np.linalg.inv(intr)[None].repeat(n_images, 0), jnp.float32)
+    bbox = jnp.asarray(np.tile([100, 380, 100, 380], (n_images, 1)), jnp.int32)
+
+    pose_cfg = pp.PoseCfg(emphasize_rot=True)
+    init_pose = np.eye(4, dtype=np.float32)
+    init_pose[2, 3] = -2.0
+    bank = pp.init_seg_bank(0, pose_cfg, n_images, 1, init_pose)
+    n_seg = pp.num_segments(n_images, 1)
+
+    cfg = step_mod.make_step_config(
+        model_cfg, batch_size=batch_size, H=H, W=W, n_segments=n_seg,
+        segment_img_num=1, pose_mode="seg", pose_cfg=pose_cfg,
+        igr_weight=0.1, mask_weight=5.0, flow_weight=0.1,
+        mask_guided_sampling=True, mask_guided_patch_size=10,
+        maintain_shape=True)
+
+    state = step_mod.TrainState(
+        params=params, opt=optim.adam_init(params), pose_bank=bank,
+        pose_opt=optim.seg_adam_init(bank["train"], n_seg), pose_static={},
+        key=jax.random.key(1), iter_step=jnp.zeros((), jnp.int32))
+
+    photo_step = step_mod.make_photo_step(cfg, images, masks, intr_inv, bbox)
+    scalars = step_mod.StepScalars(
+        lr=jnp.asarray(5e-4), cos_anneal=jnp.asarray(1.0),
+        main_update=jnp.asarray(1.0), pose_update=jnp.asarray(1.0),
+        mask_guided=jnp.asarray(1.0), seg_touch=jnp.ones((n_seg,)),
+        seg_freeze=jnp.ones((n_seg,)), seg_lr=jnp.full((n_seg,), 5e-4),
+        trans_head_on=jnp.asarray(1.0))
+    return photo_step, state, scalars
+
+
+def time_steps(photo_step, state, scalars, warmup=5, iters=30):
+    import jax
+    import jax.numpy as jnp
+
+    img = jnp.asarray(1, jnp.int32)
+    add = jnp.asarray(0, jnp.int32)
+    for _ in range(warmup):
+        state, metrics = photo_step(state, img, add, scalars)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = photo_step(state, img, add, scalars)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return iters / dt, state
+
+
+def main():
+    best = 0.0
+    details = {}
+    for batch in (512, 4096, 16384):
+        try:
+            photo_step, state, scalars = build(batch)
+            steps_per_sec, _ = time_steps(photo_step, state, scalars)
+            rays_per_step = batch * 2  # maintain_shape doubles the rays
+            rays_per_sec = steps_per_sec * rays_per_step
+            details[f"batch_{batch}"] = round(rays_per_sec)
+            best = max(best, rays_per_sec)
+        except Exception as e:  # keep the bench alive on OOM etc.
+            details[f"batch_{batch}"] = f"failed: {e}"
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(best / A100_BASELINE_RAYS_PER_SEC, 2),
+        "details": details,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# 3x3 rotation algebra must stay exact f32 on TPU (default matmul
+# precision is bf16 on the MXU, which breaks orthonormality at 1e-3)
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 __all__ = [
     "skew",
     "taylor_A",
@@ -43,43 +51,69 @@ def skew(w: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _taylor_series(x2: jnp.ndarray, denom_step, nth: int) -> jnp.ndarray:
-    """Evaluate sum_i (-1)^i x^(2i) / denom(i) with x2 = x**2 (Horner-free).
+_SMALL_SQ = 1e-4  # switch to series below theta = 1e-2
 
-    denom_step(i) returns the multiplicative factor applied to the running
-    denominator at term i (for i >= start).
+
+def _safe_branch_sq(t2, series, exact):
+    """where(theta^2 small, series(theta^2), exact(sqrt(theta^2))).
+
+    Everything is a function of the SQUARED angle so gradients stay
+    finite at exactly 0 (no d|w|/dw = w/|w| singularity): the series
+    branch is polynomial in theta^2, and the exact branch takes sqrt of
+    a clamped theta^2.  The reference evaluates a 10-term Taylor sum at
+    ALL angles (`camera.py:130-156`), which loses ~1e-2 accuracy in f32
+    beyond theta ~ pi; the closed form is exact there.
     """
-    ans = jnp.zeros_like(x2)
-    denom = 1.0
-    term = jnp.ones_like(x2)
-    for i in range(nth + 1):
-        denom *= denom_step(i)
-        ans = ans + ((-1.0) ** i) * term / denom
-        term = term * x2
-    return ans
+    small = t2 < _SMALL_SQ
+    theta = jnp.sqrt(jnp.where(small, jnp.ones_like(t2), t2))
+    return jnp.where(small, series(t2), exact(theta))
+
+
+def _A_sq(t2):
+    """sin(theta)/theta as a function of theta^2."""
+    return _safe_branch_sq(
+        t2, lambda v: 1.0 - v / 6.0 + v * v / 120.0,
+        lambda th: jnp.sin(th) / th)
+
+
+def _B_sq(t2):
+    """(1-cos(theta))/theta^2 as a function of theta^2."""
+    return _safe_branch_sq(
+        t2, lambda v: 0.5 - v / 24.0 + v * v / 720.0,
+        lambda th: (1.0 - jnp.cos(th)) / (th * th))
+
+
+def _C_sq(t2):
+    """(theta-sin(theta))/theta^3 as a function of theta^2."""
+    return _safe_branch_sq(
+        t2, lambda v: 1.0 / 6.0 - v / 120.0 + v * v / 5040.0,
+        lambda th: (th - jnp.sin(th)) / (th * th * th))
 
 
 def taylor_A(x: jnp.ndarray, nth: int = 10) -> jnp.ndarray:
-    """sin(x)/x via Taylor series (stable at 0, smooth gradients)."""
-    return _taylor_series(x * x, lambda i: (2 * i) * (2 * i + 1) if i > 0 else 1.0, nth)
+    """sin(x)/x (exact, series near 0)."""
+    del nth
+    return _A_sq(x * x)
 
 
 def taylor_B(x: jnp.ndarray, nth: int = 10) -> jnp.ndarray:
-    """(1-cos(x))/x**2 via Taylor series."""
-    return _taylor_series(x * x, lambda i: (2 * i + 1) * (2 * i + 2), nth)
+    """(1-cos(x))/x**2 (exact, series near 0)."""
+    del nth
+    return _B_sq(x * x)
 
 
 def taylor_C(x: jnp.ndarray, nth: int = 10) -> jnp.ndarray:
-    """(x-sin(x))/x**3 via Taylor series."""
-    return _taylor_series(x * x, lambda i: (2 * i + 2) * (2 * i + 3), nth)
+    """(x-sin(x))/x**3 (exact, series near 0)."""
+    del nth
+    return _C_sq(x * x)
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """so(3) -> SO(3) exponential map. [..., 3] -> [..., 3, 3]."""
     wx = skew(w)
-    theta = jnp.linalg.norm(w, axis=-1)[..., None, None]
+    t2 = jnp.sum(w * w, axis=-1)[..., None, None]
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + taylor_A(theta) * wx + taylor_B(theta) * (wx @ wx)
+    return eye + _A_sq(t2) * wx + _B_sq(t2) * _mm(wx, wx)
 
 
 def so3_log(R: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
@@ -98,12 +132,12 @@ def se3_exp(wu: jnp.ndarray, only_rot: bool = False) -> jnp.ndarray:
     """se(3) -> SE(3): [..., 6] (w | u) -> [..., 3, 4] = [R | V u]."""
     w, u = wu[..., :3], wu[..., 3:]
     wx = skew(w)
-    theta = jnp.linalg.norm(w, axis=-1)[..., None, None]
+    t2 = jnp.sum(w * w, axis=-1)[..., None, None]
     eye = jnp.eye(3, dtype=wu.dtype)
-    A, B, C = taylor_A(theta), taylor_B(theta), taylor_C(theta)
-    R = eye + A * wx + B * (wx @ wx)
-    V = eye + B * wx + C * (wx @ wx)
-    t = V @ u[..., None]
+    A, B, C = _A_sq(t2), _B_sq(t2), _C_sq(t2)
+    R = eye + A * wx + B * _mm(wx, wx)
+    V = eye + B * wx + C * _mm(wx, wx)
+    t = _mm(V, u[..., None])
     if only_rot:
         t = jnp.zeros_like(jax.lax.stop_gradient(t))
     return jnp.concatenate([R, t], axis=-1)
@@ -114,11 +148,11 @@ def se3_log(Rt: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     R, t = Rt[..., :3], Rt[..., 3:]
     w = so3_log(R)
     wx = skew(w)
-    theta = jnp.linalg.norm(w, axis=-1)[..., None, None]
+    t2 = jnp.sum(w * w, axis=-1)[..., None, None]
     eye = jnp.eye(3, dtype=Rt.dtype)
-    A, B = taylor_A(theta), taylor_B(theta)
-    inv_V = eye - 0.5 * wx + (1.0 - A / (2.0 * B)) / (theta**2 + eps) * (wx @ wx)
-    u = (inv_V @ t)[..., 0]
+    A, B = _A_sq(t2), _B_sq(t2)
+    inv_V = eye - 0.5 * wx + (1.0 - A / (2.0 * B)) / (t2 + eps) * _mm(wx, wx)
+    u = _mm(inv_V, t)[..., 0]
     return jnp.concatenate([w, u], axis=-1)
 
 
@@ -130,14 +164,11 @@ def axis_angle_to_R(r: jnp.ndarray, eps: float = 1e-15) -> jnp.ndarray:
     the norm rather than Taylor series (identical numerics to the shipped
     pose networks, which matters for convergence parity).
     """
+    del eps  # the squared-angle branch handles 0 without an epsilon
     wx = skew(r)
-    norm = jnp.linalg.norm(r, axis=-1, keepdims=True)[..., None] + eps
+    t2 = jnp.sum(r * r, axis=-1)[..., None, None]
     eye = jnp.eye(3, dtype=r.dtype)
-    return (
-        eye
-        + (jnp.sin(norm) / norm) * wx
-        + ((1.0 - jnp.cos(norm)) / norm**2) * (wx @ wx)
-    )
+    return eye + _A_sq(t2) * wx + _B_sq(t2) * _mm(wx, wx)
 
 
 def make_c2w(r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -148,6 +179,6 @@ def make_c2w(r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 
 def rotation_distance(R1: jnp.ndarray, R2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
     """Angle (radians) between two rotations."""
-    R_diff = R1 @ jnp.swapaxes(R2, -2, -1)
+    R_diff = _mm(R1, jnp.swapaxes(R2, -2, -1))
     trace = R_diff[..., 0, 0] + R_diff[..., 1, 1] + R_diff[..., 2, 2]
     return jnp.arccos(jnp.clip((trace - 1.0) / 2.0, -1.0 + eps, 1.0 - eps))

@@ -7,7 +7,14 @@ functions on jnp arrays, batched over leading dims, no mutable classes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
 
 __all__ = [
     "make_pose",
@@ -43,7 +50,7 @@ def invert(pose: jnp.ndarray) -> jnp.ndarray:
     """Invert a rigid [..., 3, 4] pose (R orthonormal)."""
     R, t = pose[..., :3], pose[..., 3:]
     R_inv = jnp.swapaxes(R, -2, -1)
-    t_inv = -(R_inv @ t)
+    t_inv = -_mm(R_inv, t)
     return jnp.concatenate([R_inv, t_inv], axis=-1)
 
 
@@ -51,7 +58,7 @@ def compose_pair(pose_a: jnp.ndarray, pose_b: jnp.ndarray) -> jnp.ndarray:
     """pose_new(x) = pose_b(pose_a(x))."""
     R_a, t_a = pose_a[..., :3], pose_a[..., 3:]
     R_b, t_b = pose_b[..., :3], pose_b[..., 3:]
-    return jnp.concatenate([R_b @ R_a, R_b @ t_a + t_b], axis=-1)
+    return jnp.concatenate([_mm(R_b, R_a), _mm(R_b, t_a) + t_b], axis=-1)
 
 
 def compose(pose_list) -> jnp.ndarray:
@@ -78,20 +85,20 @@ def to_4x4(pose: jnp.ndarray) -> jnp.ndarray:
 
 def world2cam(X: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
     """World points [..., N, 3] through w2c pose [..., 3, 4]."""
-    return to_hom(X) @ jnp.swapaxes(pose, -1, -2)
+    return _mm(to_hom(X), jnp.swapaxes(pose, -1, -2))
 
 
 def cam2img(X: jnp.ndarray, intr: jnp.ndarray) -> jnp.ndarray:
-    return X @ jnp.swapaxes(intr, -1, -2)
+    return _mm(X, jnp.swapaxes(intr, -1, -2))
 
 
 def img2cam(X: jnp.ndarray, intr: jnp.ndarray) -> jnp.ndarray:
-    return X @ jnp.swapaxes(jnp.linalg.inv(intr), -1, -2)
+    return _mm(X, jnp.swapaxes(jnp.linalg.inv(intr), -1, -2))
 
 
 def cam2world(X: jnp.ndarray, pose: jnp.ndarray) -> jnp.ndarray:
     """Camera points through the inverse of the given c2w's inverse (== c2w)."""
-    return to_hom(X) @ jnp.swapaxes(invert(pose), -1, -2)
+    return _mm(to_hom(X), jnp.swapaxes(invert(pose), -1, -2))
 
 
 def procrustes(X0: jnp.ndarray, X1: jnp.ndarray):

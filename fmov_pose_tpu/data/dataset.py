@@ -118,7 +118,11 @@ class Dataset:
         self.H, self.W = self.images_np.shape[1], self.images_np.shape[2]
 
         self._load_cameras(conf, camera_dict)
+        # crop-init may supply the intrinsics when no frame is annotated
+        # (ML phase-2: empty cameras_sphere.npz + noise_cameras_sphere.npz,
+        # `dataset.py:284-307` appends before the stack at `:493`)
         self._load_crop_init(conf, camera_dir)
+        self._stack_cameras()
         self._load_crop_transforms(conf)
         self._load_loftr(conf)
         self._compute_mask_init(conf)
@@ -202,30 +206,36 @@ class Dataset:
         else:
             raise NotImplementedError("no camera source configured")
 
-        self.intrinsics_all = np.stack(intrinsics_all).astype(np.float32)
-        self.pose_all = (np.stack(pose_all).astype(np.float32)
-                         if pose_all else np.zeros((0, 4, 4), np.float32))
-        self.gt_poses = (np.stack(gt_poses).astype(np.float32)
-                         if gt_poses else np.zeros((0, 4, 4), np.float32))
+        self._intrinsics_list = intrinsics_all
+        self._pose_list = pose_all
+        self._gt_list = gt_poses
+
+    def _stack_cameras(self):
+        self.intrinsics_all = np.stack(self._intrinsics_list).astype(np.float32)
+        self.pose_all = (np.stack(self._pose_list).astype(np.float32)
+                         if self._pose_list else np.zeros((0, 4, 4), np.float32))
+        self.gt_poses = (np.stack(self._gt_list).astype(np.float32)
+                         if self._gt_list else np.zeros((0, 4, 4), np.float32))
+        del self._intrinsics_list, self._pose_list, self._gt_list
 
     def _load_crop_init(self, conf, camera_dir):
         self.use_crop_init = conf.get_bool("use_crop_init", False)
         if not self.use_crop_init:
             return
-        noise_dict = np.load(os.path.join(camera_dir, "noise_cameras_sphere.npz"))
+        noise_path = os.path.join(camera_dir, "noise_cameras_sphere.npz")
+        if noise_path.endswith(".npz"):
+            noise_dict = np.load(noise_path)
         crop_poses = []
-        use_noise_intrinsic = len(self.gt_poses) == 0
-        noise_intrinsics = []
+        use_noise_intrinsic = len(self._gt_list) == 0
         for i in range(self.n_images):
             scale_mat = noise_dict[f"scale_mat_{i}"]
             self.crop_scale = float(scale_mat[0, 0])
             P = (noise_dict[f"world_mat_{i}"] @ scale_mat)[:3, :4]
             intrinsics, pose = load_K_Rt_from_P(P.astype(np.float32))
             crop_poses.append(pose)
-            noise_intrinsics.append(intrinsics)
+            if use_noise_intrinsic:
+                self._intrinsics_list.append(intrinsics)
         self.crop_poses = np.stack(crop_poses).astype(np.float32)
-        if use_noise_intrinsic:
-            self.intrinsics_all = np.stack(noise_intrinsics).astype(np.float32)
 
     def _load_crop_transforms(self, conf):
         self.crop = conf.get_bool("crop", False)

@@ -221,12 +221,18 @@ def parse_string(text: str) -> ConfigTree:
                     pending_list = (key, rest)
                     line = ""
                 continue
-            # scalar value: may be followed by "}" on the same line
+            # scalar value: may be followed by "}" or by another
+            # "key = value" pair (comma-separated) on the same line
             trail = ""
             if "}" in rest:
                 idx = rest.index("}")
                 trail = rest[idx:]
                 rest = rest[:idx]
+            m_next = re.match(
+                r'^(.*?),\s*(("(?:[^"]*)"|[\w.\-/]+)\s*[=:{].*)$', rest)
+            if m_next:
+                rest = m_next.group(1)
+                trail = m_next.group(2) + trail
             value = rest.strip().rstrip(",").strip()
             stack[-1].put(key, _coerce(value))
             line = trail

@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+_HI = jax.lax.Precision.HIGHEST
+
 __all__ = [
     "pixels_to_rays",
     "gen_random_rays",
@@ -29,29 +31,34 @@ def pixels_to_rays(px, py, intr_inv, pose):
     Returns (rays_o [..., 3], rays_d [..., 3], p_norm [..., 1]).
     """
     p = jnp.stack([px, py, jnp.ones_like(px)], axis=-1)
-    p = p @ intr_inv[:3, :3].T
+    p = jnp.matmul(p, intr_inv[:3, :3].T, precision=_HI)
     p_norm = jnp.linalg.norm(p, axis=-1, keepdims=True)
     rays_v = p / p_norm
-    rays_v = rays_v @ pose[:3, :3].T
+    rays_v = jnp.matmul(rays_v, pose[:3, :3].T, precision=_HI)
     rays_o = jnp.broadcast_to(pose[:3, 3], rays_v.shape)
     return rays_o, rays_v, p_norm
 
 
 def gen_random_rays(key, images, masks, intr_inv_all, pose, img_idx,
                     batch_size: int, bbox_table, patch_size: int,
-                    mask_guided: bool, H: int, W: int):
+                    mask_guided: bool, H: int, W: int,
+                    mask_guided_active=None):
     """Random ray batch from one frame (`dataset.py:634-681`).
 
-    images: [N, H, W, 3], masks: [N, H, W], intr_inv_all: [N, 4, 4],
+    images: [N, H, W, 3], masks: [N, H, W] (single channel), intr_inv_all: [N, 4, 4],
     pose: [3, 4] c2w, img_idx: scalar int, bbox_table: [N, 4]
-    (ymin, ymax, xmin, xmax).  With mask_guided, 70% of draws restrict the
-    pixel window to the dilated mask bbox.
+    (ymin, ymax, xmin, xmax).  With mask_guided (static) on, 70% of draws
+    restrict the pixel window to the dilated mask bbox;
+    ``mask_guided_active`` is an optional traced 0/1 gate (the reference
+    enables guiding only past mesh_warmup_step, `exp_runner.py:506-507`).
 
     Returns data [batch, 10] = (rays_o, rays_d, color, mask).
     """
     k_guide, k_x, k_y = jax.random.split(key, 3)
     if mask_guided:
         use_bbox = jax.random.uniform(k_guide) < 0.7
+        if mask_guided_active is not None:
+            use_bbox = use_bbox & (mask_guided_active > 0)
         y0, y1, x0, x1 = bbox_table[img_idx]
         y_lo = jnp.where(use_bbox, jnp.maximum(y0 - patch_size, 0), 0)
         y_hi = jnp.where(use_bbox, jnp.minimum(y1 + patch_size, H), H)

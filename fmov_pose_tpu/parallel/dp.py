@@ -1,0 +1,113 @@
+"""Data-parallel training over a device mesh (shard_map + psum).
+
+The reference is strictly single-GPU (SURVEY §2.3: no torch.distributed
+anywhere) — this module is new, TPU-first design: the ray batch is
+sharded across the ICI mesh, parameters are replicated (every net is
+< 3 M params), and each ratio-of-sums loss psums numerator+denominator so
+the distributed objective equals the single-chip objective exactly.
+Gradients come out replicated (the psum'd scalar differentiates into an
+implicit all-reduce), so the masked-Adam update from train/optim.py runs
+unchanged on every device.
+
+Scaling story: rays/sec scales linearly in mesh size; multi-host attaches
+via jax.distributed.initialize with the same code path (the mesh just
+spans hosts and collectives ride ICI/DCN).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from fmov_pose_tpu.data import rays as raygen
+from fmov_pose_tpu.train import optim, step as step_mod
+
+__all__ = ["make_mesh", "make_dp_photo_step"]
+
+AXIS = "data"
+
+
+def make_mesh(n_devices=None):
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def make_dp_photo_step(cfg: step_mod.StepConfig, images, masks, intr_inv_all,
+                       bbox_table, mesh: Mesh):
+    """Photometric step with the ray batch sharded over mesh axis "data".
+
+    cfg.batch_size is the GLOBAL batch; each device samples
+    batch_size / n_devices rays with its own key.
+    """
+    n_dev = mesh.shape[AXIS]
+    assert cfg.batch_size % n_dev == 0, "global batch must divide the mesh"
+    local_batch = cfg.batch_size // n_dev
+
+    def local_loss(params, bank_train, pose_bank_static, pose_static,
+                   dev_key, img_id, add_img_id, scalars):
+        """Runs per-device under shard_map; returns the replicated total."""
+        key = dev_key[0]
+        bank = ({"train": bank_train, "static": pose_bank_static}
+                if cfg.pose_mode == "seg" else {})
+        k1, k2, k3 = jax.random.split(key, 3)
+        pose0 = step_mod.pose_of_frame(cfg, params, bank, pose_static, img_id)
+        data = raygen.gen_random_rays(
+            k1, images, masks, intr_inv_all, pose0, img_id, local_batch,
+            bbox_table, cfg.mask_guided_patch_size, cfg.mask_guided_sampling,
+            cfg.H, cfg.W, mask_guided_active=scalars.mask_guided)
+        if cfg.maintain_shape:
+            pose_a = step_mod.pose_of_frame(cfg, params, bank, pose_static,
+                                            add_img_id)
+            add = raygen.gen_random_rays(
+                k2, images, masks, intr_inv_all, pose_a, add_img_id,
+                local_batch, bbox_table, cfg.mask_guided_patch_size,
+                cfg.mask_guided_sampling, cfg.H, cfg.W,
+                mask_guided_active=scalars.mask_guided)
+            data = jnp.concatenate([data, add], axis=0)
+        total, metrics = step_mod._render_and_losses(
+            cfg, k3, params, bank, pose_static, data, scalars,
+            axis_name=AXIS)
+        return total, metrics
+
+    sharded_loss = shard_map(
+        local_loss, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(AXIS), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def dp_step(state: step_mod.TrainState, img_id, add_img_id,
+                scalars: step_mod.StepScalars):
+        key, sub = jax.random.split(state.key)
+        dev_keys = jax.random.split(sub, n_dev)
+        bank_train = (state.pose_bank["train"] if cfg.pose_mode == "seg"
+                      else ())
+        bank_static = (state.pose_bank["static"] if cfg.pose_mode == "seg"
+                       else ())
+
+        def loss_for_grad(params, bank_train_):
+            total, metrics = sharded_loss(
+                params, bank_train_, bank_static, state.pose_static,
+                dev_keys, img_id, add_img_id, scalars)
+            return total, metrics
+
+        (_, metrics), (g_params, g_bank) = jax.value_and_grad(
+            loss_for_grad, argnums=(0, 1), has_aux=True)(
+            state.params, bank_train)
+        new_params, new_opt, new_bank, new_pose_opt = \
+            step_mod._apply_updates(cfg, state, g_params, g_bank, scalars)
+        return step_mod.TrainState(
+            new_params, new_opt, new_bank, new_pose_opt, state.pose_static,
+            key, state.iter_step + 1), metrics
+
+    return dp_step

@@ -127,7 +127,8 @@ def render_core_outside(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
 
 def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
                 background_alpha=None, background_sampled_color=None,
-                background_rgb=None, cos_anneal_ratio=1.0, eval_mode=False):
+                background_rgb=None, cos_anneal_ratio=1.0, eval_mode=False,
+                eikonal_parts=False):
     """SDF -> alpha -> composite (`renderer.py:244-372`)."""
     batch_size, n_samples = z_vals.shape
     dists = jnp.concatenate(
@@ -138,15 +139,29 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     dirs = jnp.broadcast_to(rays_d[:, None, :], (batch_size, n_samples, 3)).reshape(-1, 3)
 
     sdf_cfg = model_cfg["sdf"]
-    sdf_nn = nets.sdf_apply(params["sdf"], sdf_cfg, pts)
+
+    # remat: the outer training grad differentiates through this block's
+    # own VJP (second order for the eikonal term).  Without checkpointing,
+    # XLA materializes every per-layer activation of both passes —
+    # ~25 GB at 1M samples.  Recomputing them in the backward trades
+    # ~2x MLP FLOPs for O(batch) memory.
+    def _sdf_block(sdf_params, pts_in):
+        out = nets.sdf_apply(sdf_params, sdf_cfg, pts_in)
+        grads = nets.sdf_gradient(sdf_params, sdf_cfg, pts_in)
+        return out, grads
+
+    sdf_nn, gradients = jax.checkpoint(_sdf_block)(params["sdf"], pts)
     sdf = sdf_nn[:, :1]
     feature = sdf_nn[:, 1:]
-    gradients = nets.sdf_gradient(params["sdf"], sdf_cfg, pts)
     if eval_mode:
         gradients = jax.lax.stop_gradient(gradients)
 
-    sampled_color = nets.color_apply(
-        params["color"], model_cfg["color"], pts, gradients, dirs, feature
+    def _color_block(color_params, pts_in, grads_in, dirs_in, feat_in):
+        return nets.color_apply(color_params, model_cfg["color"], pts_in,
+                                grads_in, dirs_in, feat_in)
+
+    sampled_color = jax.checkpoint(_color_block)(
+        params["color"], pts, gradients, dirs, feature
     ).reshape(batch_size, n_samples, 3)
 
     inv_s = nets.variance_inv_s(params["variance"])
@@ -186,10 +201,15 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     if background_rgb is not None:
         color = color + background_rgb * (1.0 - weights_sum)
 
-    gradient_error = (jnp.linalg.norm(
+    gradient_error_raw = (jnp.linalg.norm(
         gradients.reshape(batch_size, n_samples, 3), axis=-1) - 1.0) ** 2
-    gradient_error = (relax_inside_sphere * gradient_error).sum() / (
-        relax_inside_sphere.sum() + 1e-5)
+    eik_num = (relax_inside_sphere * gradient_error_raw).sum()
+    eik_den = relax_inside_sphere.sum()
+    if eikonal_parts:
+        # (numerator, denominator) so data-parallel callers can psum both
+        gradient_error = (eik_num, eik_den)
+    else:
+        gradient_error = eik_num / (eik_den + 1e-5)
 
     return {
         "color": color,
@@ -208,7 +228,8 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
 
 def render(key, params, model_cfg, rays_o, rays_d, near, far,
            perturb_overwrite: float = -1.0, background_rgb=None,
-           cos_anneal_ratio: float = 1.0, eval_mode: bool = False):
+           cos_anneal_ratio: float = 1.0, eval_mode: bool = False,
+           eikonal_parts: bool = False):
     """Full hierarchical render (`renderer.py:374-498`). Returns the same
     output dict as the reference (`color_fine`, `depth_fine`, `s_val`, ...)."""
     cfg: RenderCfg = model_cfg["renderer"]
@@ -276,6 +297,7 @@ def render(key, params, model_cfg, rays_o, rays_d, near, far,
         background_rgb=background_rgb,
         cos_anneal_ratio=cos_anneal_ratio,
         eval_mode=eval_mode,
+        eikonal_parts=eikonal_parts,
     )
 
     weights = ret_fine["weights"]

@@ -1,0 +1,427 @@
+"""Jitted training steps: ray gen -> render -> 6 losses -> masked Adam.
+
+TPU re-design of the reference hot loop (`/root/reference/exp_runner.py:
+399-980`).  The per-iteration Python branching of the reference (flow vs
+photometric batch, segment freezing, warm-ups, progressive admission)
+splits into:
+
+* two compiled step functions (``photo_step``, ``flow_step``) with static
+  shapes — chosen host-side per iteration;
+* dynamic scalar/vector inputs (frame ids, LR factors, per-segment
+  touch/freeze masks, cos-anneal ratio) — so schedule changes never
+  recompile;
+* everything else (ray sampling, pose evaluation, NeuS render, losses,
+  Adam updates) fused into one XLA program per step.
+
+Loss semantics match `exp_runner.py:584-816` exactly: masked L1 color
+(sum / mask_sum), eikonal, BCE mask on clipped weight_sum, bidirectional
+expected-pixel flow reprojection, unit-sphere weight penalty, and the
+`detach_mesh_at_warm_up` zero-grad-but-still-step Adam drift.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fmov_pose_tpu.core import lie
+from fmov_pose_tpu.core import pose as posealg
+from fmov_pose_tpu.data import rays as raygen
+from fmov_pose_tpu.poses import picture_pose as pp
+from fmov_pose_tpu.render import neus
+from fmov_pose_tpu.train import optim
+
+
+class TrainState(NamedTuple):
+    params: Any           # fields (+ "pose" leaves for gf / "se3_refine" for se3)
+    opt: optim.AdamState
+    pose_bank: Any        # seg-mode bank {"train", "static"} or {}
+    pose_opt: Any         # SegAdamState or ()
+    pose_static: Any      # static pose buffers for gf/se3/fixed modes
+    key: jax.Array
+    iter_step: jnp.ndarray
+
+
+@dataclass
+class StepConfig:
+    """Static (compile-time) configuration of a training step.
+
+    Captured by closure in the step builders (never passed through jit
+    boundaries), so it needs no hashability."""
+    batch_size: int
+    H: int
+    W: int
+    n_segments: int
+    segment_img_num: int
+    pose_mode: str                  # "seg" | "gf" | "se3" | "fixed"
+    pose_cfg: pp.PoseCfg = pp.PoseCfg()
+    igr_weight: float = 0.1
+    mask_weight: float = 0.0
+    flow_weight: float = 0.0
+    unit_sphere_weight: float = 0.0
+    use_white_bkgd: bool = False
+    mask_guided_sampling: bool = False
+    mask_guided_patch_size: int = 30
+    maintain_shape: bool = False
+    detach_ref: bool = False
+    detach_flow_on_sdf: bool = False
+    only_rotation: bool = False
+    model_cfg: Dict[str, Any] = field(default=None)
+    deep_pose_cfg: Any = None   # DeepPoseCfg for pose_mode == "seg_pixel"
+
+
+def make_step_config(model_cfg, **kw) -> StepConfig:
+    return StepConfig(model_cfg=model_cfg, **kw)
+
+
+class StepScalars(NamedTuple):
+    """Per-iteration dynamic inputs (host-computed, no recompile)."""
+    lr: jnp.ndarray              # main Adam LR this step
+    cos_anneal: jnp.ndarray
+    main_update: jnp.ndarray     # 0/1: detach_mesh_at_warm_up gate
+    pose_update: jnp.ndarray     # 0/1: pose nets frozen (mesh warm-up)
+    mask_guided: jnp.ndarray     # 0/1: bbox-guided pixel sampling active
+    seg_touch: jnp.ndarray       # [S] segments whose Adams step
+    seg_freeze: jnp.ndarray      # [S] 1 = trainable, 0 = frozen
+    seg_lr: jnp.ndarray          # [S] per-segment LR
+    trans_head_on: jnp.ndarray   # 0/1 scale-head gate (disable_trans)
+
+
+def pose_of_frame(cfg: StepConfig, params, pose_bank, pose_static, cam_id):
+    """c2w [3, 4] of a frame under the configured pose model."""
+    if cfg.pose_mode == "seg":
+        return pp.seg_apply(pose_bank, cfg.pose_cfg, cfg.segment_img_num, cam_id)
+    if cfg.pose_mode == "seg_pixel":
+        from fmov_pose_tpu.poses import pixel_pose as px
+        return px.seg_deep_apply(pose_bank, cfg.deep_pose_cfg,
+                                 cfg.segment_img_num, cam_id)
+    if cfg.pose_mode == "gf":
+        return pp.gf_apply({"train": params["pose"], "static": pose_static},
+                           cfg.pose_cfg, cam_id)
+    if cfg.pose_mode == "se3":
+        refine = lie.se3_exp(params["se3_refine"][cam_id],
+                             only_rot=cfg.only_rotation)
+        return posealg.compose_pair(refine, pose_static["noise_poses"][cam_id, :3])
+    # fixed (GT) poses
+    return pose_static["pose_all"][cam_id, :3]
+
+
+def _pose_leaf_mask(cfg: StepConfig, pose_train):
+    """emphasize_rot keeps lin3_trans permanently frozen
+    (`picture_pose.py:52-56`)."""
+    def mask_leaf(path, leaf):
+        name = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if name == "lin3_trans":
+            return jnp.zeros(())
+        return jnp.ones(())
+    return jax.tree_util.tree_map_with_path(mask_leaf, pose_train)
+
+
+def _scale_head_mask(cfg: StepConfig, pose_train, trans_head_on):
+    def mask_leaf(path, leaf):
+        name = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if name == "lin3_scale":
+            return trans_head_on
+        return jnp.ones(())
+    return jax.tree_util.tree_map_with_path(mask_leaf, pose_train)
+
+
+# ---------------------------------------------------------------------------
+# loss core (shared by photo/flow steps)
+# ---------------------------------------------------------------------------
+
+
+def _psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
+def _render_and_losses(cfg: StepConfig, key, params, pose_bank, pose_static,
+                       data, scalars: StepScalars, flow_ctx=None,
+                       axis_name=None):
+    """Render a ray batch and assemble the 6-loss objective.
+
+    With ``axis_name`` set (shard_map data parallelism), every
+    ratio-of-sums loss psums its numerator AND denominator, so the
+    distributed objective is bitwise-equivalent in expectation to the
+    single-chip one.
+    """
+    rays_o, rays_d = data[:, :3], data[:, 3:6]
+    true_rgb, mask = data[:, 6:9], data[:, 9:10]
+    near, far = raygen.near_far_from_sphere(rays_o, rays_d)
+    background_rgb = jnp.ones((1, 3)) if cfg.use_white_bkgd else None
+
+    if cfg.mask_weight > 0.0:
+        mask = (mask > 0.5).astype(jnp.float32)
+    else:
+        mask = jnp.ones_like(mask)
+    mask_sum = _psum(mask.sum(), axis_name) + 1e-5
+    n_rays_total = _psum(jnp.asarray(rays_o.shape[0], jnp.float32), axis_name)
+
+    render_params = {k: v for k, v in params.items()
+                     if k in ("sdf", "color", "nerf", "variance")}
+    out = neus.render(key, render_params, cfg.model_cfg, rays_o, rays_d,
+                      near, far, background_rgb=background_rgb,
+                      cos_anneal_ratio=scalars.cos_anneal,
+                      eikonal_parts=axis_name is not None)
+    if axis_name is not None:
+        num, den = out["gradient_error"]
+        out["gradient_error"] = _psum(num, axis_name) / (
+            _psum(den, axis_name) + 1e-5)
+
+    color_fine = out["color_fine"]
+    color_error = (color_fine - true_rgb) * mask
+    color_loss = _psum(jnp.abs(color_error).sum(), axis_name) / mask_sum
+    psnr = 20.0 * jnp.log10(
+        1.0 / jnp.sqrt(_psum(((color_fine - true_rgb) ** 2 * mask).sum(),
+                             axis_name) / (mask_sum * 3.0)))
+
+    eikonal_loss = out["gradient_error"]
+
+    w_sum = jnp.clip(out["weight_sum"], 1e-3, 1.0 - 1e-3)
+    bce = -(mask * jnp.log(w_sum) + (1.0 - mask) * jnp.log(1.0 - w_sum))
+    mask_loss = _psum(bce.sum(), axis_name) / n_rays_total
+
+    if cfg.unit_sphere_weight > 0:
+        pts = out["pts"]
+        weights_flat = out["weights"][:, :pts.shape[0] // rays_o.shape[0]]
+        outside = jax.lax.stop_gradient(
+            (jnp.linalg.norm(pts, axis=-1) > 1.0).astype(jnp.float32)
+        ).reshape(weights_flat.shape)
+        denom = _psum(outside.sum(), axis_name) + 1e-8
+        unit_sphere_loss = _psum((jnp.abs(weights_flat) * outside).sum(),
+                                 axis_name) / denom * cfg.unit_sphere_weight
+    else:
+        unit_sphere_loss = 0.0
+
+    flow_loss = 0.0
+    if flow_ctx is not None:
+        flow_loss = _flow_loss(cfg, params, pose_bank, pose_static, out,
+                               flow_ctx, axis_name=axis_name)
+
+    total = (color_loss + eikonal_loss * cfg.igr_weight
+             + mask_loss * cfg.mask_weight + unit_sphere_loss + flow_loss)
+
+    metrics = {
+        "loss": total, "color_loss": color_loss, "eikonal_loss": eikonal_loss,
+        "mask_loss": mask_loss, "flow_loss": flow_loss,
+        "unit_sphere_loss": unit_sphere_loss, "psnr": psnr,
+        "s_val": out["s_val"].mean(),
+        "cdf": (out["cdf_fine"][:, :1] * mask).sum() / mask_sum,
+        "weight_max": (out["weight_max"] * mask).sum() / mask_sum,
+    }
+    return total, metrics
+
+
+def _project_to_pixels(pts, c2w, K):
+    """World pts [N, 3] -> pixel coords [N, 2] through a 3x4 c2w."""
+    hi = jax.lax.Precision.HIGHEST
+    w2c = posealg.invert(c2w)
+    cam = jnp.matmul(pts, w2c[:3, :3].T, precision=hi) + w2c[:3, 3]
+    pix = jnp.matmul(cam, K[:3, :3].T, precision=hi)
+    return pix[:, :2] / pix[:, 2:]
+
+
+def _flow_loss(cfg: StepConfig, params, pose_bank, pose_static, render_out,
+               flow_ctx, axis_name=None):
+    """Bidirectional expected-pixel reprojection loss
+    (`exp_runner.py:605-696`)."""
+    img_id, img_id_corr, pixels_xy, pixels_xy_corr, K0, K1 = flow_ctx
+    n_rays = render_out["weights"].shape[0]
+    pts = render_out["pts"].reshape(n_rays, -1, 3)
+    n_samples = pts.shape[1]
+    weights = render_out["weights"][:, :n_samples]
+    if cfg.detach_flow_on_sdf:
+        weights = jax.lax.stop_gradient(weights)
+
+    B2 = pixels_xy.shape[0]
+    pts0, pts1 = pts[:B2].reshape(-1, 3), pts[B2:2 * B2].reshape(-1, 3)
+    w0, w1 = weights[:B2], weights[B2:2 * B2]
+
+    c2w_1 = pose_of_frame(cfg, params, pose_bank, pose_static, img_id)
+    c2w_0 = pose_of_frame(cfg, params, pose_bank, pose_static, img_id_corr)
+    if cfg.detach_ref:
+        c2w_1 = jax.lax.stop_gradient(c2w_1)
+        c2w_0 = jax.lax.stop_gradient(c2w_0)
+
+    # corr-frame surface points -> frame img_id's pixels vs match pixels
+    pix0 = _project_to_pixels(pts0, c2w_1, K1).reshape(B2, n_samples, 2)
+    err0 = ((pix0 - pixels_xy[:, None, :]) * w0[:, :, None]).sum(axis=1)
+    # img_id-frame surface points -> corr frame's pixels vs match pixels
+    pix1 = _project_to_pixels(pts1, c2w_0, K0).reshape(B2, n_samples, 2)
+    err1 = ((pix1 - pixels_xy_corr[:, None, :]) * w1[:, :, None]).sum(axis=1)
+
+    if axis_name is None:
+        return (jnp.abs(err0).mean() + jnp.abs(err1).mean()) * cfg.flow_weight
+    n = _psum(jnp.asarray(err0.size, jnp.float32), axis_name)
+    loss0 = _psum(jnp.abs(err0).sum(), axis_name) / n
+    loss1 = _psum(jnp.abs(err1).sum(), axis_name) / n
+    return (loss0 + loss1) * cfg.flow_weight
+
+
+# ---------------------------------------------------------------------------
+# optimizer application
+# ---------------------------------------------------------------------------
+
+
+def _apply_updates(cfg: StepConfig, state: TrainState, grads_params,
+                   grads_bank, scalars: StepScalars):
+    # main Adam: detach_mesh_at_warm_up multiplies grads by 0 but still steps
+    grads_params = optim.mask_grads(grads_params, scalars.main_update)
+    if cfg.pose_mode in ("gf", "se3"):
+        # pose leaves live in the main optimizer; gate them separately
+        def gate(path, g):
+            top = path[0].key if hasattr(path[0], "key") else str(path[0])
+            if top in ("pose", "se3_refine"):
+                # undo the main gate, apply the pose gate
+                safe = jnp.where(scalars.main_update > 0, scalars.main_update, 1.0)
+                return g / safe * scalars.pose_update
+            return g
+        grads_params = jax.tree_util.tree_map_with_path(gate, grads_params)
+        if cfg.pose_mode == "gf" and cfg.pose_cfg.emphasize_rot:
+            def head_gate(path, g):
+                top = path[0].key if hasattr(path[0], "key") else str(path[0])
+                if top == "pose":
+                    name = path[1].key if hasattr(path[1], "key") else str(path[1])
+                    if name == "lin3_trans":
+                        return g * 0.0
+                    if name == "lin3_scale":
+                        return g * scalars.trans_head_on
+                return g
+            grads_params = jax.tree_util.tree_map_with_path(head_gate, grads_params)
+
+    new_params, new_opt = optim.adam_update(
+        grads_params, state.opt, state.params, scalars.lr)
+
+    if cfg.pose_mode in ("seg", "seg_pixel"):
+        grads_bank = optim.mask_seg_grads(
+            grads_bank, scalars.seg_freeze * scalars.pose_update)
+        leaf_mask = _pose_leaf_mask(cfg, state.pose_bank["train"])
+        grads_bank = jax.tree_util.tree_map(
+            lambda g, m: g * m, grads_bank, leaf_mask)
+        head_mask = _scale_head_mask(cfg, state.pose_bank["train"],
+                                     scalars.trans_head_on)
+        grads_bank = jax.tree_util.tree_map(
+            lambda g, m: g * m, grads_bank, head_mask)
+        new_train, new_pose_opt = optim.seg_adam_update(
+            grads_bank, state.pose_opt, state.pose_bank["train"],
+            scalars.seg_touch, scalars.seg_lr)
+        new_bank = {"train": new_train, "static": state.pose_bank["static"]}
+    else:
+        new_bank, new_pose_opt = state.pose_bank, state.pose_opt
+
+    return new_params, new_opt, new_bank, new_pose_opt
+
+
+# ---------------------------------------------------------------------------
+# step builders
+# ---------------------------------------------------------------------------
+
+
+def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
+    """Photometric step. Dynamic args: img_id, add_img_id, scalars."""
+
+    def loss_fn(params, bank_train, state: TrainState, key, img_id,
+                add_img_id, scalars):
+        bank = ({"train": bank_train, "static": state.pose_bank["static"]}
+                if cfg.pose_mode in ("seg", "seg_pixel") else state.pose_bank)
+        k1, k2, k3 = jax.random.split(key, 3)
+        pose0 = pose_of_frame(cfg, params, bank, state.pose_static, img_id)
+        data = raygen.gen_random_rays(
+            k1, images, masks, intr_inv_all, pose0, img_id, cfg.batch_size,
+            bbox_table, cfg.mask_guided_patch_size,
+            cfg.mask_guided_sampling, cfg.H, cfg.W,
+            mask_guided_active=scalars.mask_guided)
+        if cfg.maintain_shape:
+            pose_a = pose_of_frame(cfg, params, bank, state.pose_static,
+                                   add_img_id)
+            add = raygen.gen_random_rays(
+                k2, images, masks, intr_inv_all, pose_a, add_img_id,
+                cfg.batch_size, bbox_table, cfg.mask_guided_patch_size,
+                cfg.mask_guided_sampling, cfg.H, cfg.W,
+                mask_guided_active=scalars.mask_guided)
+            data = jnp.concatenate([data, add], axis=0)
+        return _render_and_losses(cfg, k3, params, bank, state.pose_static,
+                                  data, scalars)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, img_id, add_img_id, scalars: StepScalars):
+        key, sub = jax.random.split(state.key)
+        bank_train = (state.pose_bank["train"]
+                      if cfg.pose_mode in ("seg", "seg_pixel") else ())
+        (loss, metrics), (g_params, g_bank) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+            state.params, bank_train, state, sub, img_id, add_img_id, scalars)
+        new_params, new_opt, new_bank, new_pose_opt = _apply_updates(
+            cfg, state, g_params, g_bank, scalars)
+        return TrainState(new_params, new_opt, new_bank, new_pose_opt,
+                          state.pose_static, key, state.iter_step + 1), metrics
+
+    return step
+
+
+def make_flow_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
+    """Flow-pair step: half-batch match rays per frame (+maintain rays)."""
+
+    def loss_fn(params, bank_train, state: TrainState, key, img_id,
+                img_id_corr, add_img_id, pixels_xy, pixels_xy_corr, scalars):
+        bank = ({"train": bank_train, "static": state.pose_bank["static"]}
+                if cfg.pose_mode in ("seg", "seg_pixel") else state.pose_bank)
+        k2, k3 = jax.random.split(key)
+        pose_corr = pose_of_frame(cfg, params, bank, state.pose_static,
+                                  img_id_corr)
+        pose1 = pose_of_frame(cfg, params, bank, state.pose_static, img_id)
+
+        ro_c, rv_c = raygen.gen_flow_rays(
+            pixels_xy_corr, intr_inv_all[img_id_corr], pose_corr)
+        ro_1, rv_1 = raygen.gen_flow_rays(
+            pixels_xy, intr_inv_all[img_id], pose1)
+        col_c = images[img_id_corr][
+            pixels_xy_corr[:, 1].astype(jnp.int32),
+            pixels_xy_corr[:, 0].astype(jnp.int32)]
+        col_1 = images[img_id][
+            pixels_xy[:, 1].astype(jnp.int32), pixels_xy[:, 0].astype(jnp.int32)]
+        ones = jnp.ones((pixels_xy.shape[0], 1))
+        data = jnp.concatenate([
+            jnp.concatenate([ro_c, rv_c, col_c, ones], axis=-1),
+            jnp.concatenate([ro_1, rv_1, col_1, ones], axis=-1),
+        ], axis=0)
+        if cfg.maintain_shape:
+            pose_a = pose_of_frame(cfg, params, bank, state.pose_static,
+                                   add_img_id)
+            add = raygen.gen_random_rays(
+                k2, images, masks, intr_inv_all, pose_a, add_img_id,
+                cfg.batch_size, bbox_table, cfg.mask_guided_patch_size,
+                cfg.mask_guided_sampling, cfg.H, cfg.W,
+                mask_guided_active=scalars.mask_guided)
+            data = jnp.concatenate([data, add], axis=0)
+        K0 = intr_inv_all_K(intr_inv_all, img_id_corr)
+        K1 = intr_inv_all_K(intr_inv_all, img_id)
+        flow_ctx = (img_id, img_id_corr, pixels_xy, pixels_xy_corr, K0, K1)
+        return _render_and_losses(cfg, k3, params, bank, state.pose_static,
+                                  data, scalars, flow_ctx=flow_ctx)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, img_id, img_id_corr, add_img_id,
+             pixels_xy, pixels_xy_corr, scalars: StepScalars):
+        key, sub = jax.random.split(state.key)
+        bank_train = (state.pose_bank["train"]
+                      if cfg.pose_mode in ("seg", "seg_pixel") else ())
+        (loss, metrics), (g_params, g_bank) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+            state.params, bank_train, state, sub, img_id, img_id_corr,
+            add_img_id, pixels_xy, pixels_xy_corr, scalars)
+        new_params, new_opt, new_bank, new_pose_opt = _apply_updates(
+            cfg, state, g_params, g_bank, scalars)
+        return TrainState(new_params, new_opt, new_bank, new_pose_opt,
+                          state.pose_static, key, state.iter_step + 1), metrics
+
+    return step
+
+
+def intr_inv_all_K(intr_inv_all, idx):
+    """Recover K from the stored inverse intrinsics (cheap 3x3 inverse)."""
+    return jnp.linalg.inv(intr_inv_all[idx][:3, :3])

@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+from fmov_pose_tpu.data import hocon
+from fmov_pose_tpu.data.dataset import Dataset
+from fmov_pose_tpu.data.synthetic import make_orbit_sequence
+
+
+@pytest.fixture(scope="module")
+def seq_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    out = root / "SYN_ori"
+    make_orbit_sequence(str(out), n_frames=6, H=64, W=64)
+    return str(out)
+
+
+def _conf(seq_dir, **extra):
+    lines = [f"data_dir = {seq_dir}/",
+             "render_cameras_name = cameras_sphere.npz",
+             "object_cameras_name = cameras_sphere.npz"]
+    for k, v in extra.items():
+        lines.append(f"{k} = {v}")
+    return hocon.parse_string("d {\n" + "\n".join(lines) + "\n}")["d"]
+
+
+def test_full_annotation_load(seq_dir):
+    ds = Dataset(_conf(seq_dir))
+    assert ds.n_images == 6
+    assert ds.images_np.shape == (6, 64, 64, 3)
+    assert ds.gt_poses.shape == (6, 4, 4)
+    # c2w orthonormal
+    R = ds.gt_poses[0][:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+    # camera looks at origin from dist ~2.5
+    np.testing.assert_allclose(np.linalg.norm(ds.gt_poses[:, :3, 3], axis=-1),
+                               2.5, atol=0.05)
+
+
+def test_decomposition_roundtrip(seq_dir):
+    """P = K [R|t] decomposition must recover the synthetic GT camera."""
+    from fmov_pose_tpu.data.synthetic import make_orbit_sequence as mk
+    ds = Dataset(_conf(seq_dir))
+    K = ds.intrinsics_all[0][:3, :3]
+    assert abs(K[0, 2] - 32.0) < 1.0  # principal point W/2
+    assert K[0, 0] > 10
+
+
+def test_partial_ann_load(seq_dir):
+    ds = Dataset(_conf(seq_dir, partial_ann="True", mask_init="True",
+                       crop="True"))
+    assert len(ds.avai_ann_frame) == 6
+    assert ds.max_mask_pose is not None
+    # mask-init pose looks down +z from negative z
+    assert ds.max_mask_pose[2, 3] < 0
+    assert ds.crop_transforms is not None
+
+
+def test_loftr_matches_load(seq_dir):
+    import os
+    flow_dir = os.path.join(os.path.dirname(seq_dir.rstrip("/")), "matches")
+    ds = Dataset(_conf(seq_dir, partial_ann="True", crop="True",
+                       loftr_interval_flow_dir=flow_dir))
+    assert len(ds.flow_pairs) > 0
+    name0, name1 = "0000", "0001"
+    assert name1 in ds.flow_pairs[name0]
+    xs1, ys1, xs2, ys2 = ds.loftr_flows[f"{name0}_{name1}"]
+    assert len(xs1) > 50
+    # matches live inside the masks
+    m = ds.masks_np[0][..., 0]
+    assert (m[ys1.astype(int), xs1.astype(int)] > 0.5).all()
+    # reversed direction pair exists
+    assert f"{name1}_{name0}" in ds.loftr_flows
+
+
+def test_mask_bboxes(seq_dir):
+    ds = Dataset(_conf(seq_dir))
+    y0, y1, x0, x1 = ds.mask_bboxes[0]
+    assert 0 <= y0 < y1 <= 64 and 0 <= x0 < x1 <= 64
+    # sphere projects near the center
+    assert 10 < (y0 + y1) / 2 < 54
+
+
+def test_wo_mask_blacks_background(seq_dir, tmp_path):
+    ds = Dataset(_conf(seq_dir, wo_mask="True"))
+    outside = ds.masks_np[0] < 0.5
+    assert np.abs(ds.images_np[0][outside[..., 0]]).max() == 0.0
+
+
+def test_synthetic_matches_are_consistent(seq_dir):
+    """Analytic matches should reproject with ~0 error under GT poses."""
+    import os
+    flow_dir = os.path.join(os.path.dirname(seq_dir.rstrip("/")), "matches")
+    ds = Dataset(_conf(seq_dir, partial_ann="True", crop="True",
+                       loftr_interval_flow_dir=flow_dir))
+    xs1, ys1, xs2, ys2 = ds.loftr_flows["0000_0001"]
+    assert np.hypot(xs1 - xs2, ys1 - ys2).mean() < 30  # small motion
