@@ -31,11 +31,14 @@ def build(batch_size):
     from fmov_pose_tpu.train import optim, step as step_mod
 
     model_cfg = ge._model_cfg(n_samples=32, n_importance=0)
+    model_cfg = dict(model_cfg)
+    for net in ("sdf", "color", "nerf"):
+        model_cfg[net] = dict(model_cfg[net], compute_dtype="bfloat16")
     params = ge._field_params(jax.random.key(0))
 
     n_images, H, W = 8, 480, 480
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.random((n_images, H, W, 3)), jnp.float32)
+    images = jnp.asarray(rng.random((3, n_images, H, W)), jnp.float32)
     masks = jnp.asarray((rng.random((n_images, H, W)) > 0.5), jnp.float32)
     intr = np.eye(4, dtype=np.float32)
     intr[0, 0] = intr[1, 1] = 500.0

@@ -108,13 +108,24 @@ def main():
         _, i0, i1 = args.mode.split("_")
         runner.interpolate_view(int(i0), int(i1))
     elif args.mode == "validate_all_images":
-        for i in range(0, runner.dataset.n_images,
-                       max(runner.dataset.n_images // 10, 1)):
-            runner.validate_image(i, resolution_level=4)
+        runner.validate_all_images(resolution_level=4)
+    elif args.mode == "save_poses":
+        runner.save_poses()
     elif args.mode == "save_poses_simple":
         runner.save_poses_simple(align_dir=args.align_dir)
     elif args.mode == "save_aligned_poses":
         runner.save_aligned_poses()
+    elif args.mode == "render_poses":
+        if args.global_conf != "None":
+            case = runner.case.split("_")[0]
+            conf_name = os.path.basename(args.global_conf).split(".")[0]
+            runner = reboot_runner(
+                case, os.path.join(runner.base_exp_dir, conf_name))
+        runner.render_poses()
+    elif args.mode == "pure_render_poses":
+        runner.render_poses(wo_normal=True)
+    elif args.mode == "save_alignment_materials":
+        runner.save_alignment_materials(align_dir=args.align_dir)
     elif args.mode == "validate_textured_mesh":
         from fmov_pose_tpu.pipeline.textured import textured_mesh
         mesh_path = runner.validate_mesh(resolution=64)

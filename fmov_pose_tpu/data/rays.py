@@ -24,6 +24,17 @@ __all__ = [
 ]
 
 
+def gather_rgb(images_planes, img_idx, py, px):
+    """Gather pixel colors from the channel-plane image layout.
+
+    images_planes: [3, N, H, W] — channels-first so no tensor ever has a
+    minor dimension of 3 (TPU tiles pad the minor dim to 128 lanes: an
+    [N, H, W, 3] buffer wastes 42x HBM and bandwidth).
+    """
+    return jnp.stack(
+        [images_planes[c, img_idx, py, px] for c in range(3)], axis=-1)
+
+
 def pixels_to_rays(px, py, intr_inv, pose):
     """Pixel coords -> world rays.
 
@@ -69,7 +80,7 @@ def gen_random_rays(key, images, masks, intr_inv_all, pose, img_idx,
     px = jax.random.randint(k_x, (batch_size,), x_lo, x_hi)
     py = jax.random.randint(k_y, (batch_size,), y_lo, y_hi)
 
-    color = images[img_idx][py, px]  # [batch, 3]
+    color = gather_rgb(images, img_idx, py, px)  # [batch, 3]
     mask = masks[img_idx][py, px][..., None]  # [batch, 1]
     rays_o, rays_v, _ = pixels_to_rays(
         px.astype(jnp.float32), py.astype(jnp.float32),

@@ -52,12 +52,25 @@ def _linear_params(w: np.ndarray, b: np.ndarray, weight_norm: bool) -> Params:
     return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
 
 
-def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def linear_apply(p: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Weight-norm linear.
+
+    With compute_dtype=bfloat16: bf16 x bf16 -> f32-accumulated matmul on
+    the MXU AND the result is returned in bf16, so inter-layer activation
+    buffers (the HBM bottleneck of this tiny-MLP workload) are half-width.
+    Params and the bias add stay f32.
+    """
     if "v" in p:
         v = p["v"]
         w = v * (p["g"] / (jnp.linalg.norm(v, axis=1) + 1e-12))[:, None]
     else:
         w = p["w"]
+    if compute_dtype is not None:
+        y = jax.lax.dot_general(
+            x.astype(compute_dtype), w.T.astype(compute_dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (y + p["b"]).astype(compute_dtype)
     return x @ w.T + p["b"]
 
 
@@ -74,6 +87,13 @@ def _torch_default_linear(key, d_in: int, d_out: int, weight_norm: bool) -> Para
 # ---------------------------------------------------------------------------
 # SDF network
 # ---------------------------------------------------------------------------
+
+
+def _compute_dtype(cfg):
+    d = cfg.get("compute_dtype")
+    if d in (None, "float32", "f32"):
+        return None
+    return jnp.bfloat16 if d in ("bfloat16", "bf16") else jnp.dtype(d)
 
 
 def sdf_dims(cfg) -> list:
@@ -135,6 +155,7 @@ def sdf_apply(params: Params, cfg, x: jnp.ndarray, progress=None) -> jnp.ndarray
     dims = sdf_dims(cfg)
     n_lin = len(dims) - 1
 
+    cdt = _compute_dtype(cfg)
     inputs = x * scale
     if multires > 0:
         inputs = positional_encode(inputs, multires)
@@ -143,10 +164,14 @@ def sdf_apply(params: Params, cfg, x: jnp.ndarray, progress=None) -> jnp.ndarray
     for l in range(n_lin):
         if l in skip_in:
             h = jnp.concatenate([h, inputs], axis=-1) * inv_sqrt2
-        h = linear_apply(params["layers"][f"lin{l}"], h)
+        h = linear_apply(params["layers"][f"lin{l}"], h, cdt)
         if l < n_lin - 1:
-            # softplus(beta=100): numerically = softplus(100 x) / 100
-            h = jax.nn.softplus(100.0 * h) / 100.0
+            # softplus(beta=100) = softplus(100 x)/100, computed in f32
+            # (fused pointwise), stored at compute_dtype
+            h = jax.nn.softplus(100.0 * h.astype(jnp.float32)) / 100.0
+            if cdt is not None:
+                h = h.astype(cdt)
+    h = h.astype(jnp.float32)
     return jnp.concatenate([h[..., :1] / scale, h[..., 1:]], axis=-1)
 
 
@@ -197,10 +222,12 @@ def color_apply(params, cfg, points, normals, view_dirs, feature, progress=None)
     else:
         raise ValueError(mode)
     n_lin = cfg["n_layers"] + 1
+    cdt = _compute_dtype(cfg)
     for l in range(n_lin):
-        h = linear_apply(params["layers"][f"lin{l}"], h)
+        h = linear_apply(params["layers"][f"lin{l}"], h, cdt)
         if l < n_lin - 1:
             h = jax.nn.relu(h)
+    h = h.astype(jnp.float32)
     if cfg.get("squeeze_out", True):
         h = jax.nn.sigmoid(h)
     return h
@@ -243,17 +270,18 @@ def nerf_apply(params, cfg, input_pts, input_views):
         input_pts = positional_encode(input_pts, cfg["multires"])
     if cfg.get("multires_view", 0) > 0:
         input_views = positional_encode(input_views, cfg["multires_view"])
+    cdt = _compute_dtype(cfg)
     h = input_pts
     for i in range(D):
-        h = jax.nn.relu(linear_apply(params["pts"][f"lin{i}"], h))
+        h = jax.nn.relu(linear_apply(params["pts"][f"lin{i}"], h, cdt))
         if i in skips:
             h = jnp.concatenate([input_pts, h], axis=-1)
-    alpha = linear_apply(params["alpha"], h)
-    feature = linear_apply(params["feature"], h)
-    h = jnp.concatenate([feature, input_views], axis=-1)
-    h = jax.nn.relu(linear_apply(params["views0"], h))
-    rgb = linear_apply(params["rgb"], h)
-    return alpha, rgb
+    alpha = linear_apply(params["alpha"], h, cdt)
+    feature = linear_apply(params["feature"], h, cdt)
+    h = jnp.concatenate([feature, input_views.astype(feature.dtype)], axis=-1)
+    h = jax.nn.relu(linear_apply(params["views0"], h, cdt))
+    rgb = linear_apply(params["rgb"], h, cdt)
+    return alpha.astype(jnp.float32), rgb.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -79,11 +79,16 @@ def make_dp_photo_step(cfg: step_mod.StepConfig, images, masks, intr_inv_all,
             axis_name=AXIS)
         return total, metrics
 
-    sharded_loss = shard_map(
-        local_loss, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(AXIS), P(), P(), P()),
-        out_specs=(P(), P()),
-        check_rep=False)
+    in_specs = (P(), P(), P(), P(), P(AXIS), P(), P(), P())
+    out_specs = (P(), P())
+    try:  # jax >= 0.8: keyword-only, check_vma
+        sharded_loss = shard_map(
+            local_loss, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False)
+    except TypeError:  # older API
+        sharded_loss = shard_map(
+            local_loss, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False)
 
     @partial(jax.jit, donate_argnums=(0,))
     def dp_step(state: step_mod.TrainState, img_id, add_img_id,

@@ -52,9 +52,12 @@ def make_sdf_query(params, model_cfg):
     """Jitted negative-SDF query (the reference meshes -sdf at threshold 0,
     `renderer.py:500-507`)."""
 
+    from fmov_pose_tpu.render.neus import _sdf_only_fn
+    fn = _sdf_only_fn(model_cfg)
+
     @jax.jit
     def query(pts):
-        return -nets.sdf_only(params["sdf"], model_cfg["sdf"], pts)
+        return -fn(params["sdf"], pts)
 
     return query
 

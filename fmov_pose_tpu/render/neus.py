@@ -49,6 +49,18 @@ def make_render_cfg(conf: Dict[str, Any]) -> RenderCfg:
     )
 
 
+def _sdf_only_fn(model_cfg):
+    """Pick the Pallas-fused SDF forward for gradient-free evaluation when
+    enabled+supported (ops/fused_sdf.py), else the XLA reference."""
+    sdf_cfg = model_cfg["sdf"]
+    if sdf_cfg.get("use_fused", False):
+        from fmov_pose_tpu.ops import fused_sdf
+        if fused_sdf.supported(sdf_cfg):
+            return lambda params, x: fused_sdf.sdf_only_fused(
+                params, sdf_cfg, x)
+    return lambda params, x: nets.sdf_only(params, sdf_cfg, x)
+
+
 def _transmittance_weights(alpha: jnp.ndarray) -> jnp.ndarray:
     """weights = alpha * cumprod([1, 1-alpha+1e-7])[:, :-1] (`renderer.py:337-342`)."""
     ones = jnp.ones_like(alpha[..., :1])
@@ -93,7 +105,7 @@ def cat_z_vals(params, model_cfg, rays_o, rays_d, z_vals, new_z_vals, sdf, last:
     if last:
         return z_sorted, sdf
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
-    new_sdf = nets.sdf_only(params["sdf"], model_cfg["sdf"], pts.reshape(-1, 3))
+    new_sdf = _sdf_only_fn(model_cfg)(params["sdf"], pts.reshape(-1, 3))
     new_sdf = new_sdf.reshape(batch_size, n_importance)
     sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
     sdf_sorted = jnp.take_along_axis(sdf_all, index, axis=-1)
@@ -267,7 +279,7 @@ def render(key, params, model_cfg, rays_o, rays_d, near, far,
         # SDF-guided upsampling is gradient-free (`renderer.py:424` no_grad)
         def _upsample(z_vals):
             pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
-            sdf = nets.sdf_only(params["sdf"], model_cfg["sdf"], pts.reshape(-1, 3))
+            sdf = _sdf_only_fn(model_cfg)(params["sdf"], pts.reshape(-1, 3))
             sdf = sdf.reshape(batch_size, cfg.n_samples)
             for i in range(cfg.up_sample_steps):
                 new_z = up_sample(

@@ -152,6 +152,16 @@ class Runner:
             self.model_cfg["sdf"].get("skip_in", [4]))
         self.model_cfg["nerf"]["skips"] = tuple(
             self.model_cfg["nerf"].get("skips", [4]))
+        # mixed precision: bf16 MLP activations halve the HBM-bound
+        # activation traffic (params/accumulation stay f32); default f32
+        # for strict numerical parity with the reference
+        compute_dtype = conf.get("train.compute_dtype", "float32")
+        for net in ("sdf", "color", "nerf"):
+            self.model_cfg[net].setdefault("compute_dtype", compute_dtype)
+        # Pallas-fused SDF forward for gradient-free paths (upsampling,
+        # mesh grids, eval renders); auto-disabled on CPU
+        self.model_cfg["sdf"]["use_fused"] = conf.get_bool(
+            "train.use_fused_kernels", True)
         self.variance_cfg = conf["model.variance_network"].as_plain_dict()
 
         # -------- pose mode + initial poses
@@ -215,7 +225,8 @@ class Runner:
     # ------------------------------------------------------------------
     def _init_device_buffers(self):
         d = self.dataset
-        self.images_dev = jnp.asarray(d.images_np, jnp.float32)
+        self.images_dev = jnp.asarray(
+            d.images_np.transpose(3, 0, 1, 2), jnp.float32)  # [3, N, H, W]
         self.masks_dev = jnp.asarray(d.masks_np[..., 0], jnp.float32)
         self.intr_inv_dev = jnp.asarray(d.intrinsics_all_inv, jnp.float32)
         self.bbox_dev = jnp.asarray(d.mask_bboxes, jnp.int32)
@@ -526,6 +537,12 @@ class Runner:
             self.iter_step += 1
             rays_done += self.batch_size * (2 if self.maintain_shape else 1)
 
+            if self.gradient_analysis and self.iter_step % self.report_freq == 1:
+                try:
+                    self.gradient_analysis_report(img_id)
+                except Exception as e:
+                    LOG.warning("gradient_analysis failed: %s", e)
+
             if self.iter_step % self.report_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t_start
@@ -805,6 +822,206 @@ class Runner:
         writer.release()
 
     # ------------------------------------------------------------------
+    # extended eval / visualization modes
+    # ------------------------------------------------------------------
+    def rays_from_mask(self, idx: int, pose, resolution_level=1):
+        """Ray grid over the (uncropped-frame) mask bbox
+        (`dataset.py:578-632`). Returns rays_o, rays_d, ys, xs, p_norm."""
+        d = self.dataset
+        if not d.crop:
+            mask = d.masks_np[idx][:, :, 0]
+            shift = (0.0, 0.0)
+        else:
+            import cv2 as cv
+            mask_dir = os.path.join(d.data_dir.replace("_ori", ""), "mask_obj")
+            path = os.path.join(mask_dir, d.index_to_frame[idx] + ".png")
+            if os.path.exists(path):
+                mask = cv.imread(path, cv.IMREAD_UNCHANGED) / 255.0
+                if mask.ndim == 3:
+                    mask = mask[..., 0]
+            else:
+                mask = d.masks_np[idx][:, :, 0]
+            M = d.crop_transforms[d.index_to_frame[idx]]
+            shift = (M[0, 2], M[1, 2])
+        ys, xs = np.where(mask > 0.5)
+        if len(ys) == 0:
+            return None
+        y0, y1 = max(ys.min() - 5, 0), min(ys.max() + 5, d.H - 1)
+        x0, x1 = max(xs.min() - 5, 0), min(xs.max() + 5, d.W - 1)
+        x0, x1 = x0 + shift[0], x1 + shift[0]
+        y0, y1 = y0 + shift[1], y1 + shift[1]
+        l = resolution_level
+        tx = np.linspace(x0, x1, max(int(x1 - x0) // l, 2)).astype(np.int64)
+        ty = np.linspace(y0, y1, max(int(y1 - y0) // l, 2)).astype(np.int64)
+        px, py = np.meshgrid(tx, ty, indexing="xy")
+        rays_o, rays_v, p_norm = raygen.pixels_to_rays(
+            jnp.asarray(px.reshape(-1), jnp.float32),
+            jnp.asarray(py.reshape(-1), jnp.float32),
+            self.intr_inv_dev[idx], jnp.asarray(pose[:3], jnp.float32))
+        return (np.asarray(rays_o), np.asarray(rays_v),
+                py.reshape(-1), px.reshape(-1), np.asarray(p_norm))
+
+    def render_poses(self, resolution_level=1, reduce_res=2, wo_normal=False):
+        """Final visualization (`exp_runner.py:1792-2024`): project the
+        mesh's oriented bbox wireframe through each learned pose onto each
+        frame, render per-frame normal maps, write jpgs + gif."""
+        import cv2 as cv
+
+        mesh_dir = os.path.join(self.base_exp_dir, "meshes")
+        plys = sorted(os.listdir(mesh_dir)) if os.path.isdir(mesh_dir) else []
+        if not plys:
+            self.validate_mesh()
+            plys = sorted(os.listdir(mesh_dir))
+        verts, _tris = meshio.read_ply(os.path.join(mesh_dir, plys[-1]))
+        lo, hi = verts.min(0), verts.max(0)
+        corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                            for y in (lo[1], hi[1]) for z in (lo[2], hi[2])])
+        box_edges = [(0, 1), (0, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 7),
+                     (6, 7), (0, 4), (1, 5), (2, 6), (3, 7)]
+
+        pose_dir = os.path.join(self.base_exp_dir, "pose_vis")
+        normal_dir = os.path.join(self.base_exp_dir, "normal_vis")
+        os.makedirs(pose_dir, exist_ok=True)
+        os.makedirs(normal_dir, exist_ok=True)
+        frames = []
+        for i in range(self.dataset.n_images):
+            pose = self.query_pose(i)
+            img = self.dataset.image_at(i, resolution_level)
+            img = cv.cvtColor(img.astype(np.uint8), cv.COLOR_BGR2RGB)
+            obj_pose = np.linalg.inv(pose)
+            rvec = cv.Rodrigues(obj_pose[:3, :3].astype(np.float64))[0]
+            tvec = obj_pose[:3, 3].astype(np.float64)
+            K = self.dataset.intrinsics_all[i][:3, :3].astype(np.float64)
+            pts2d, _ = cv.projectPoints(corners.astype(np.float64), rvec,
+                                        tvec, K, None)
+            pts2d = (pts2d[:, 0] / resolution_level).astype(int)
+            for a, b in box_edges:
+                cv.line(img, tuple(pts2d[a]), tuple(pts2d[b]), (0, 255, 0), 2)
+            cv.imwrite(os.path.join(
+                pose_dir, f"{self.dataset.index_to_frame[i]}.jpg"),
+                cv.cvtColor(img, cv.COLOR_RGB2BGR))
+
+            if not wo_normal:
+                rm = self.rays_from_mask(i, pose, resolution_level=1)
+                if rm is not None:
+                    ro, rv, ys, xs, _ = rm
+                    out = self.render_rays_chunked(ro, rv)
+                    rot = np.linalg.inv(pose[:3, :3])
+                    normals = (rot @ out["normal"].T).T
+                    vis_mask = out["weight_sum"][:, 0] > 0.5
+                    nimg = np.ones((self.dataset.H, self.dataset.W, 3))
+                    ysv = np.clip(ys[vis_mask], 0, self.dataset.H - 1)
+                    xsv = np.clip(xs[vis_mask], 0, self.dataset.W - 1)
+                    nimg[ysv, xsv] = normals[vis_mask]
+                    nimg = ((nimg * 128 + 128).clip(0, 255)).astype(np.uint8)
+                    cv.imwrite(os.path.join(
+                        normal_dir, f"{self.dataset.index_to_frame[i]}.jpg"),
+                        nimg)
+            frames.append(img)
+        try:
+            import imageio
+            imageio.mimsave(
+                os.path.join(self.base_exp_dir,
+                             f"poses_{self.iter_step}.gif"), frames, fps=5)
+        except Exception as e:
+            LOG.warning("gif export failed: %s", e)
+        return pose_dir
+
+    def validate_all_images(self, resolution_level=4):
+        """Render up to 10 evenly spaced frames into imgs.gif
+        (`exp_runner.py:1564-1577`)."""
+        import cv2 as cv
+        import imageio
+        n = self.dataset.n_images
+        idxs = (np.arange(n) if n < 10
+                else np.linspace(0, n - 1, 10, dtype=int))
+        imgs = []
+        for i in idxs:
+            img = self.validate_image(int(i), resolution_level=resolution_level,
+                                      return_img=True)
+            imgs.append(cv.cvtColor(img.astype(np.uint8), cv.COLOR_BGR2RGB))
+        imageio.mimsave(os.path.join(self.base_exp_dir, "imgs.gif"), imgs,
+                        fps=2)
+
+    def save_alignment_materials(self, step=4, align_dir=None):
+        """Back-project rendered depth through annotated frames to world
+        points for cross-run alignment (`exp_runner.py:1742-1790`)."""
+        d = self.dataset
+        ids = d.avai_ann_frame if len(d.avai_ann_frame) else list(
+            range(d.n_images))
+        world_pts = []
+        for i in ids[::max(len(ids) // step, 1)]:
+            pose = self.query_pose(i)
+            rm = self.rays_from_mask(i, pose)
+            if rm is None:
+                continue
+            ro, rv, ys, xs, p_norm = rm
+            out = self.render_rays_chunked(ro, rv)
+            depths = out["depth_fine"][:, 0] / p_norm[:, 0]
+            K = d.intrinsics_all[i][:3, :3]
+            xy_hom = np.stack([xs, ys, np.ones_like(xs)], 0).astype(np.float64)
+            cam = (np.linalg.inv(K) @ xy_hom).T * depths[:, None]
+            cam_h = np.concatenate([cam, np.ones((len(cam), 1))], 1)
+            world_pts.append((pose @ cam_h.T).T)
+        world_pts = np.concatenate(world_pts, 0)
+        path = (os.path.join(align_dir, f"{self.case}_world_pts_3D.npy")
+                if align_dir else
+                os.path.join(self.base_exp_dir, "world_pts_3D.npy"))
+        np.save(path, world_pts)
+        return path
+
+    def gradient_analysis_report(self, img_id=0):
+        """Per-loss gradient magnitude stats (`exp_runner.py:36-44,
+        726-769`): one value_and_grad per loss term, logged per network."""
+        from fmov_pose_tpu.train.step import (StepScalars, pose_of_frame,
+                                              _render_and_losses)
+        import jax as _jax
+
+        cfg = self.step_cfg
+        scalars = StepScalars(
+            lr=jnp.asarray(0.0), cos_anneal=jnp.asarray(1.0),
+            main_update=jnp.asarray(1.0), pose_update=jnp.asarray(1.0),
+            mask_guided=jnp.asarray(0.0),
+            seg_touch=jnp.zeros((self.n_segments,)),
+            seg_freeze=jnp.ones((self.n_segments,)),
+            seg_lr=jnp.zeros((self.n_segments,)),
+            trans_head_on=jnp.asarray(1.0))
+
+        def per_loss(params, key_name):
+            pose0 = pose_of_frame(cfg, params, self.state.pose_bank,
+                                  self.state.pose_static,
+                                  jnp.asarray(img_id, jnp.int32))
+            data = raygen.gen_random_rays(
+                jax.random.key(0), self.images_dev, self.masks_dev,
+                self.intr_inv_dev, pose0, jnp.asarray(img_id, jnp.int32),
+                self.batch_size, self.bbox_dev, cfg.mask_guided_patch_size,
+                False, cfg.H, cfg.W)
+            _total, metrics = _render_and_losses(
+                cfg, jax.random.key(1), params, self.state.pose_bank,
+                self.state.pose_static, data, scalars)
+            return metrics[key_name]
+
+        report = {}
+        for name in ("color_loss", "eikonal_loss", "mask_loss"):
+            grads = _jax.grad(lambda p: per_loss(p, name))(self.state.params)
+            stats = {}
+            for net in ("sdf", "color", "nerf", "variance"):
+                if net in grads:
+                    leaves = _jax.tree_util.tree_leaves(grads[net])
+                    vals = np.concatenate(
+                        [np.abs(np.asarray(l)).reshape(-1) for l in leaves])
+                    stats[net] = (float(vals.min()), float(vals.max()),
+                                  float(vals.mean()))
+            report[name] = stats
+            if self.writer:
+                for net, (mn, mx, mean) in stats.items():
+                    self.writer.add_scalar(
+                        f"Gradients/{name}_mean_{net}", mean, self.iter_step)
+        for name, stats in report.items():
+            LOG.info("gradient_analysis %s: %s", name, stats)
+        return report
+
+    # ------------------------------------------------------------------
     def save_checkpoint(self):
         host_meta = {
             "iter_step": self.iter_step,
@@ -863,6 +1080,27 @@ class Runner:
             pass
 
     # ------------------------------------------------------------------
+    def save_poses(self):
+        """Export pred/gt poses + intrinsics + crop transforms
+        (`exp_runner.py:1273-1307`)."""
+        self.current_image = max(self.current_image - 10, 1)
+        self.validate_poses()
+        pose_dir = os.path.join(self.base_exp_dir, "poses")
+        os.makedirs(pose_dir, exist_ok=True)
+        poses = self.query_poses(self.current_image)
+        np.save(os.path.join(pose_dir, f"pred_poses_{self.iter_step}.npy"),
+                poses)
+        if len(self.dataset.gt_poses):
+            np.save(os.path.join(pose_dir, "gt_poses.npy"),
+                    self.dataset.gt_poses)
+        np.save(os.path.join(pose_dir, "intrinsics.npy"),
+                self.dataset.intrinsics_all)
+        if self.dataset.crop:
+            tm = np.stack([self.dataset.crop_transforms[
+                self.dataset.index_to_frame[i]] for i in range(len(poses))])
+            np.save(os.path.join(pose_dir, "transform_matrixs.npy"), tm)
+        return pose_dir
+
     def save_poses_simple(self, align_dir=None):
         poses = {}
         for i in range(self.current_image):

@@ -379,11 +379,14 @@ def make_flow_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
             pixels_xy_corr, intr_inv_all[img_id_corr], pose_corr)
         ro_1, rv_1 = raygen.gen_flow_rays(
             pixels_xy, intr_inv_all[img_id], pose1)
-        col_c = images[img_id_corr][
+        col_c = raygen.gather_rgb(
+            images, img_id_corr,
             pixels_xy_corr[:, 1].astype(jnp.int32),
-            pixels_xy_corr[:, 0].astype(jnp.int32)]
-        col_1 = images[img_id][
-            pixels_xy[:, 1].astype(jnp.int32), pixels_xy[:, 0].astype(jnp.int32)]
+            pixels_xy_corr[:, 0].astype(jnp.int32))
+        col_1 = raygen.gather_rgb(
+            images, img_id,
+            pixels_xy[:, 1].astype(jnp.int32),
+            pixels_xy[:, 0].astype(jnp.int32))
         ones = jnp.ones((pixels_xy.shape[0], 1))
         data = jnp.concatenate([
             jnp.concatenate([ro_c, rv_c, col_c, ones], axis=-1),
