@@ -66,29 +66,30 @@ def build(batch_size):
         key=jax.random.key(1), iter_step=jnp.zeros((), jnp.int32))
 
     photo_step = step_mod.make_photo_step(cfg, images, masks, intr_inv, bbox)
-    scalars = step_mod.StepScalars(
-        lr=jnp.asarray(5e-4), cos_anneal=jnp.asarray(1.0),
-        main_update=jnp.asarray(1.0), pose_update=jnp.asarray(1.0),
-        mask_guided=jnp.asarray(1.0), seg_touch=jnp.ones((n_seg,)),
-        seg_freeze=jnp.ones((n_seg,)), seg_lr=jnp.full((n_seg,), 5e-4),
-        trans_head_on=jnp.asarray(1.0))
-    return photo_step, state, scalars
+    packed = step_mod.pack_scalars_np(
+        5e-4, 1.0, 1.0, 1.0, 1.0, 1.0, 1, 0, 0,
+        np.ones(n_seg), np.ones(n_seg), np.full(n_seg, 5e-4))
+    return photo_step, state, packed
 
 
-def time_steps(photo_step, state, scalars, warmup=5, iters=30):
+def time_steps(photo_step, state, packed, warmup=5, iters=30):
+    import os
+
     import jax
-    import jax.numpy as jnp
 
-    img = jnp.asarray(1, jnp.int32)
-    add = jnp.asarray(0, jnp.int32)
     for _ in range(warmup):
-        state, metrics = photo_step(state, img, add, scalars)
+        state, metrics = photo_step(state, packed)
     jax.block_until_ready(metrics["loss"])
+    profile_dir = os.environ.get("FMOV_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = photo_step(state, img, add, scalars)
+        state, metrics = photo_step(state, packed)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
     return iters / dt, state
 
 
@@ -97,8 +98,8 @@ def main():
     details = {}
     for batch in (512, 4096, 16384):
         try:
-            photo_step, state, scalars = build(batch)
-            steps_per_sec, _ = time_steps(photo_step, state, scalars)
+            photo_step, state, packed = build(batch)
+            steps_per_sec, _ = time_steps(photo_step, state, packed)
             rays_per_step = batch * 2  # maintain_shape doubles the rays
             rays_per_sec = steps_per_sec * rays_per_step
             details[f"batch_{batch}"] = round(rays_per_sec)

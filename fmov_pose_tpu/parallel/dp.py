@@ -58,7 +58,7 @@ def make_dp_photo_step(cfg: step_mod.StepConfig, images, masks, intr_inv_all,
         """Runs per-device under shard_map; returns the replicated total."""
         key = dev_key[0]
         bank = ({"train": bank_train, "static": pose_bank_static}
-                if cfg.pose_mode == "seg" else {})
+                if cfg.pose_mode in ("seg", "seg_pixel") else {})
         k1, k2, k3 = jax.random.split(key, 3)
         pose0 = step_mod.pose_of_frame(cfg, params, bank, pose_static, img_id)
         data = raygen.gen_random_rays(
@@ -91,14 +91,15 @@ def make_dp_photo_step(cfg: step_mod.StepConfig, images, masks, intr_inv_all,
             check_rep=False)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def dp_step(state: step_mod.TrainState, img_id, add_img_id,
-                scalars: step_mod.StepScalars):
+    def dp_step(state: step_mod.TrainState, packed_scalars):
+        scalars, img_id, add_img_id, _ = step_mod.unpack_scalars(
+            packed_scalars, cfg.n_segments)
         key, sub = jax.random.split(state.key)
         dev_keys = jax.random.split(sub, n_dev)
-        bank_train = (state.pose_bank["train"] if cfg.pose_mode == "seg"
-                      else ())
-        bank_static = (state.pose_bank["static"] if cfg.pose_mode == "seg"
-                       else ())
+        bank_train = (state.pose_bank["train"]
+                      if cfg.pose_mode in ("seg", "seg_pixel") else ())
+        bank_static = (state.pose_bank["static"]
+                       if cfg.pose_mode in ("seg", "seg_pixel") else ())
 
         def loss_for_grad(params, bank_train_):
             total, metrics = sharded_loss(
@@ -116,3 +117,102 @@ def make_dp_photo_step(cfg: step_mod.StepConfig, images, masks, intr_inv_all,
             key, state.iter_step + 1), metrics
 
     return dp_step
+
+
+def make_dp_flow_step(cfg: step_mod.StepConfig, images, masks, intr_inv_all,
+                      bbox_table, mesh: Mesh):
+    """Flow-pair step with the match batch sharded over the mesh.
+
+    pixels_pair [B/2, 4] = (corr_xy, xy) is sharded on its leading axis;
+    the maintain-shape extra rays are sampled per device with local keys.
+    """
+    n_dev = mesh.shape[AXIS]
+    assert (cfg.batch_size // 2) % n_dev == 0
+
+    def local_loss(params, bank_train, pose_bank_static, pose_static,
+                   dev_key, img_id, img_id_corr, add_img_id, pixels_pair,
+                   scalars):
+        key = dev_key[0]
+        bank = ({"train": bank_train, "static": pose_bank_static}
+                if cfg.pose_mode in ("seg", "seg_pixel") else {})
+        k2, k3 = jax.random.split(key)
+        pixels_xy_corr = pixels_pair[:, 0:2]
+        pixels_xy = pixels_pair[:, 2:4]
+        pose_corr = step_mod.pose_of_frame(cfg, params, bank, pose_static,
+                                           img_id_corr)
+        pose1 = step_mod.pose_of_frame(cfg, params, bank, pose_static, img_id)
+        ro_c, rv_c = raygen.gen_flow_rays(
+            pixels_xy_corr, intr_inv_all[img_id_corr], pose_corr)
+        ro_1, rv_1 = raygen.gen_flow_rays(
+            pixels_xy, intr_inv_all[img_id], pose1)
+        col_c = raygen.gather_rgb(
+            images, img_id_corr, pixels_xy_corr[:, 1].astype(jnp.int32),
+            pixels_xy_corr[:, 0].astype(jnp.int32))
+        col_1 = raygen.gather_rgb(
+            images, img_id, pixels_xy[:, 1].astype(jnp.int32),
+            pixels_xy[:, 0].astype(jnp.int32))
+        ones = jnp.ones((pixels_xy.shape[0], 1))
+        data = jnp.concatenate([
+            jnp.concatenate([ro_c, rv_c, col_c, ones], axis=-1),
+            jnp.concatenate([ro_1, rv_1, col_1, ones], axis=-1)], axis=0)
+        if cfg.maintain_shape:
+            pose_a = step_mod.pose_of_frame(cfg, params, bank, pose_static,
+                                            add_img_id)
+            add = raygen.gen_random_rays(
+                k2, images, masks, intr_inv_all, pose_a, add_img_id,
+                cfg.batch_size // n_dev, bbox_table,
+                cfg.mask_guided_patch_size, cfg.mask_guided_sampling,
+                cfg.H, cfg.W, mask_guided_active=scalars.mask_guided)
+            data = jnp.concatenate([data, add], axis=0)
+        K0 = step_mod.intr_inv_all_K(intr_inv_all, img_id_corr)
+        K1 = step_mod.intr_inv_all_K(intr_inv_all, img_id)
+        flow_ctx = (img_id, img_id_corr, pixels_xy, pixels_xy_corr, K0, K1)
+        return step_mod._render_and_losses(
+            cfg, k3, params, bank, pose_static, data, scalars,
+            flow_ctx=flow_ctx, axis_name=AXIS)
+
+    in_specs = (P(), P(), P(), P(), P(AXIS), P(), P(), P(), P(AXIS), P())
+    out_specs = (P(), P())
+    try:
+        sharded_loss = shard_map(
+            local_loss, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False)
+    except TypeError:
+        sharded_loss = shard_map(
+            local_loss, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def dp_flow_step(state: step_mod.TrainState, packed_scalars, pixels_pair):
+        scalars, img_id, add_img_id, img_id_corr = step_mod.unpack_scalars(
+            packed_scalars, cfg.n_segments)
+        key, sub = jax.random.split(state.key)
+        dev_keys = jax.random.split(sub, n_dev)
+        bank_train = (state.pose_bank["train"]
+                      if cfg.pose_mode in ("seg", "seg_pixel") else ())
+        bank_static = (state.pose_bank["static"]
+                       if cfg.pose_mode in ("seg", "seg_pixel") else ())
+
+        def loss_for_grad(params, bank_train_):
+            return sharded_loss(params, bank_train_, bank_static,
+                                state.pose_static, dev_keys, img_id,
+                                img_id_corr, add_img_id, pixels_pair, scalars)
+
+        (_, metrics), (g_params, g_bank) = jax.value_and_grad(
+            loss_for_grad, argnums=(0, 1), has_aux=True)(
+            state.params, bank_train)
+        new_params, new_opt, new_bank, new_pose_opt = \
+            step_mod._apply_updates(cfg, state, g_params, g_bank, scalars)
+        return step_mod.TrainState(
+            new_params, new_opt, new_bank, new_pose_opt, state.pose_static,
+            key, state.iter_step + 1), metrics
+
+    return dp_flow_step
+
+
+def maybe_initialize_distributed():
+    """Multi-host: call jax.distributed.initialize when launched under a
+    multi-process coordinator (env-gated, no-op single host)."""
+    import os
+    if os.environ.get("FMOV_DISTRIBUTED") == "1":
+        jax.distributed.initialize()

@@ -137,6 +137,7 @@ def preprocess_sequence(data_dir: str, ori=True, has_gt=False,
 
     avai = sorted({k.split("_")[2] for k in camera_dict.keys()
                    if "world_mat" in k})
+    avai = [f for f in avai if f in frame_to_id]  # only named frames
     for frame in avai:
         P = (camera_dict[f"world_mat_{frame}"].astype(np.float32)
              @ camera_dict[f"scale_mat_{frame}"].astype(np.float32))[:3, :4]

@@ -299,12 +299,30 @@ class Runner:
             detach_flow_on_sdf=self.detach_flow_on_sdf,
             only_rotation=self.only_rotation,
         )
-        self.photo_step = step_mod.make_photo_step(
-            self.step_cfg, self.images_dev, self.masks_dev,
-            self.intr_inv_dev, self.bbox_dev)
-        self.flow_step = step_mod.make_flow_step(
-            self.step_cfg, self.images_dev, self.masks_dev,
-            self.intr_inv_dev, self.bbox_dev)
+        # multi-chip: shard the ray batch over all local devices
+        # (train.data_parallel, default on when >1 device is attached)
+        n_dev = jax.device_count()
+        use_dp = self.conf.get_bool("train.data_parallel", n_dev > 1) \
+            and n_dev > 1 and self.batch_size % n_dev == 0 \
+            and (self.batch_size // 2) % n_dev == 0
+        if use_dp:
+            from fmov_pose_tpu.parallel import dp
+            dp.maybe_initialize_distributed()
+            mesh = dp.make_mesh()
+            LOG.info("data-parallel over %d devices", mesh.shape[dp.AXIS])
+            self.photo_step = dp.make_dp_photo_step(
+                self.step_cfg, self.images_dev, self.masks_dev,
+                self.intr_inv_dev, self.bbox_dev, mesh)
+            self.flow_step = dp.make_dp_flow_step(
+                self.step_cfg, self.images_dev, self.masks_dev,
+                self.intr_inv_dev, self.bbox_dev, mesh)
+        else:
+            self.photo_step = step_mod.make_photo_step(
+                self.step_cfg, self.images_dev, self.masks_dev,
+                self.intr_inv_dev, self.bbox_dev)
+            self.flow_step = step_mod.make_flow_step(
+                self.step_cfg, self.images_dev, self.masks_dev,
+                self.intr_inv_dev, self.bbox_dev)
         self._eval_render = jax.jit(
             lambda key, params, ro, rd, near, far, ca: neus.render(
                 key, params, self.model_cfg, ro, rd, near, far,
@@ -508,31 +526,21 @@ class Runner:
                     and self.pro_iteration < self.pro_warm_up_end):
                 trans_head_on = 0.0
 
-            scalars = step_mod.StepScalars(
-                lr=jnp.asarray(self.main_lr(), jnp.float32),
-                cos_anneal=jnp.asarray(self.get_cos_anneal_ratio(), jnp.float32),
-                main_update=jnp.asarray(main_update, jnp.float32),
-                pose_update=jnp.asarray(pose_update, jnp.float32),
-                mask_guided=jnp.asarray(
-                    1.0 if (self.mask_guided_sampling and not in_warmup)
-                    else 0.0, jnp.float32),
-                seg_touch=jnp.asarray(seg_touch),
-                seg_freeze=jnp.asarray(self.seg_frozen),
-                seg_lr=jnp.asarray(seg_lr),
-                trans_head_on=jnp.asarray(trans_head_on, jnp.float32),
-            )
+            packed = step_mod.pack_scalars_np(
+                self.main_lr(), self.get_cos_anneal_ratio(), main_update,
+                pose_update,
+                1.0 if (self.mask_guided_sampling and not in_warmup) else 0.0,
+                trans_head_on, img_id, add_img_id,
+                img_id_corr if img_id_corr is not None else 0,
+                seg_touch, self.seg_frozen, seg_lr)
 
             if use_flow:
                 _, pixels, pixels_corr = flow_data
+                pixels_pair = np.concatenate([pixels_corr, pixels], axis=-1)
                 self.state, metrics = self.flow_step(
-                    self.state, jnp.asarray(img_id, jnp.int32),
-                    jnp.asarray(img_id_corr, jnp.int32),
-                    jnp.asarray(add_img_id, jnp.int32),
-                    jnp.asarray(pixels), jnp.asarray(pixels_corr), scalars)
+                    self.state, packed, pixels_pair)
             else:
-                self.state, metrics = self.photo_step(
-                    self.state, jnp.asarray(img_id, jnp.int32),
-                    jnp.asarray(add_img_id, jnp.int32), scalars)
+                self.state, metrics = self.photo_step(self.state, packed)
 
             self.iter_step += 1
             rays_done += self.batch_size * (2 if self.maintain_shape else 1)
@@ -748,6 +756,17 @@ class Runner:
             np.save(os.path.join(arr_dir, f"pred_poses_{self.iter_step}.npy"),
                     est)
             np.save(os.path.join(arr_dir, "gt_poses.npy"), gt)
+        try:
+            from fmov_pose_tpu.pipeline import report
+            trans_err = np.linalg.norm(
+                gt[:, :3, 3] - est_aligned[:len(gt), :3, 3], axis=-1)
+            report.write_metrics(
+                os.path.join(pose_dir, f"stats_{self.iter_step:06d}"),
+                {"ate_rmse": ate, "rpe_trans": rpe_trans,
+                 "rpe_rot_deg": float(np.rad2deg(rpe_rot)),
+                 "trans_error": report.compute_statistics(trans_err)})
+        except Exception as e:
+            LOG.warning("metric report failed: %s", e)
         return ate, rpe_trans, rpe_rot, gt, est
 
     def validate_mesh(self, world_space=False, resolution=64, threshold=0.0,

@@ -91,6 +91,37 @@ class StepScalars(NamedTuple):
     trans_head_on: jnp.ndarray   # 0/1 scale-head gate (disable_trans)
 
 
+N_SCALAR_FIELDS = 9
+
+
+def pack_scalars_np(lr, cos_anneal, main_update, pose_update, mask_guided,
+                    trans_head_on, img_id, add_img_id, img_id_corr,
+                    seg_touch, seg_freeze, seg_lr):
+    """One host->device transfer per step instead of ~14 (tunnel/dispatch
+    latency dominated the runner's step time otherwise). Frame ids ride in
+    the f32 vector (exact below 2^24)."""
+    import numpy as _np
+    head = _np.array([lr, cos_anneal, main_update, pose_update, mask_guided,
+                      trans_head_on, img_id, add_img_id, img_id_corr],
+                     _np.float32)
+    return _np.concatenate([head, _np.asarray(seg_touch, _np.float32),
+                            _np.asarray(seg_freeze, _np.float32),
+                            _np.asarray(seg_lr, _np.float32)])
+
+
+def unpack_scalars(packed, n_segments: int):
+    """-> (StepScalars, img_id, add_img_id, img_id_corr)."""
+    k = N_SCALAR_FIELDS
+    s = n_segments
+    scalars = StepScalars(
+        lr=packed[0], cos_anneal=packed[1], main_update=packed[2],
+        pose_update=packed[3], mask_guided=packed[4], trans_head_on=packed[5],
+        seg_touch=packed[k:k + s], seg_freeze=packed[k + s:k + 2 * s],
+        seg_lr=packed[k + 2 * s:k + 3 * s])
+    ids = packed[6:9].astype(jnp.int32)
+    return scalars, ids[0], ids[1], ids[2]
+
+
 def pose_of_frame(cfg: StepConfig, params, pose_bank, pose_static, cam_id):
     """c2w [3, 4] of a frame under the configured pose model."""
     if cfg.pose_mode == "seg":
@@ -348,7 +379,9 @@ def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
                                   data, scalars)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, img_id, add_img_id, scalars: StepScalars):
+    def step(state: TrainState, packed_scalars):
+        scalars, img_id, add_img_id, _ = unpack_scalars(
+            packed_scalars, cfg.n_segments)
         key, sub = jax.random.split(state.key)
         bank_train = (state.pose_bank["train"]
                       if cfg.pose_mode in ("seg", "seg_pixel") else ())
@@ -408,8 +441,11 @@ def make_flow_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
                                   data, scalars, flow_ctx=flow_ctx)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, img_id, img_id_corr, add_img_id,
-             pixels_xy, pixels_xy_corr, scalars: StepScalars):
+    def step(state: TrainState, packed_scalars, pixels_pair):
+        scalars, img_id, add_img_id, img_id_corr = unpack_scalars(
+            packed_scalars, cfg.n_segments)
+        pixels_xy_corr = pixels_pair[:, 0:2]
+        pixels_xy = pixels_pair[:, 2:4]
         key, sub = jax.random.split(state.key)
         bank_train = (state.pose_bank["train"]
                       if cfg.pose_mode in ("seg", "seg_pixel") else ())
