@@ -20,7 +20,7 @@ import numpy as np
 A100_BASELINE_RAYS_PER_SEC = 7680.0  # 512 rays/iter * ~15 it/s envelope
 
 
-def build(batch_size):
+def build(batch_size, use_fused_train=False):
     import jax
     import jax.numpy as jnp
 
@@ -34,6 +34,7 @@ def build(batch_size):
     model_cfg = dict(model_cfg)
     for net in ("sdf", "color", "nerf"):
         model_cfg[net] = dict(model_cfg[net], compute_dtype="bfloat16")
+    model_cfg["sdf"]["use_fused_train"] = use_fused_train
     params = ge._field_params(jax.random.key(0))
 
     n_images, H, W = 8, 480, 480
@@ -96,16 +97,18 @@ def time_steps(photo_step, state, packed, warmup=5, iters=30):
 def main():
     best = 0.0
     details = {}
-    for batch in (512, 4096, 16384):
+    for batch, fused in ((512, False), (512, True), (4096, True),
+                         (16384, True)):
+        tag = f"batch_{batch}" + ("_fusedbwd" if fused else "")
         try:
-            photo_step, state, packed = build(batch)
+            photo_step, state, packed = build(batch, use_fused_train=fused)
             steps_per_sec, _ = time_steps(photo_step, state, packed)
             rays_per_step = batch * 2  # maintain_shape doubles the rays
             rays_per_sec = steps_per_sec * rays_per_step
-            details[f"batch_{batch}"] = round(rays_per_sec)
+            details[tag] = round(rays_per_sec)
             best = max(best, rays_per_sec)
         except Exception as e:  # keep the bench alive on OOM etc.
-            details[f"batch_{batch}"] = f"failed: {e}"
+            details[tag] = f"failed: {str(e)[:120]}"
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(best, 1),

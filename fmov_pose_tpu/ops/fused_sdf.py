@@ -59,6 +59,16 @@ def _softplus100(x):
     return jax.nn.softplus(100.0 * x) / 100.0
 
 
+def _act_pair(z):
+    """softplus(100z)/100 and sigmoid(100z) from ONE exp (the kernels are
+    transcendental-bound on the VPU otherwise)."""
+    E = jnp.exp(-100.0 * jnp.abs(z))
+    sp = jnp.maximum(z, 0.0) + jnp.log1p(E) * 0.01
+    pos = z >= 0
+    sig = jnp.where(pos, 1.0 / (1.0 + E), E / (1.0 + E))
+    return sp, sig
+
+
 def _pe_vjp(xs: jnp.ndarray, d_inputs: jnp.ndarray, multires: int):
     """Jacobian-transpose of the positional encoding.
 
@@ -72,6 +82,32 @@ def _pe_vjp(xs: jnp.ndarray, d_inputs: jnp.ndarray, multires: int):
         c_cols = d_inputs[:, 6 + 6 * i:9 + 6 * i]
         gx = gx + s_cols * f * jnp.cos(xs * f) - c_cols * f * jnp.sin(xs * f)
     return gx
+
+
+def _pe_jvp(xs: jnp.ndarray, t: jnp.ndarray, multires: int):
+    """Jacobian of the positional encoding applied to tangent t [N, 3]:
+    returns [N, 3*(1+2L)] (the diagonal-per-dim structure of PE)."""
+    cols = [t]
+    for i in range(multires):
+        f = 2.0 ** i
+        cols.append(t * f * jnp.cos(xs * f))
+        cols.append(-t * f * jnp.sin(xs * f))
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _pe_second_term(xs, d_inputs, ct_grad, multires):
+    """d/dxs of pe_vjp(xs, d_inputs) contracted with ct_grad [N, 3].
+
+    pe_vjp = d0 + sum_i f (s_i cos(f xs) - c_i sin(f xs)); its xs-derivative
+    is diagonal per dim: sum_i f^2 (-s_i sin - c_i cos)."""
+    out = jnp.zeros_like(ct_grad)
+    for i in range(multires):
+        f = 2.0 ** i
+        s_cols = d_inputs[:, 3 + 6 * i:6 + 6 * i]
+        c_cols = d_inputs[:, 6 + 6 * i:9 + 6 * i]
+        out = out + ct_grad * (f * f) * (
+            -s_cols * jnp.sin(xs * f) - c_cols * jnp.cos(xs * f))
+    return out
 
 
 def _dot(a, b):
@@ -132,16 +168,27 @@ def _make_fwd_grad_kernel(cfg, n_lin):
         dinp_ref = refs[3 * n_lin + 2]
 
         inputs = xe_ref[:]
-        out, preacts = _forward_tile(inputs, ws, bs, cfg, keep_preacts=True)
-        out_ref[:] = out
+        scale = cfg.get("scale", 1.0)
+        # forward with shared-exp activations, caching the sigmoids
+        h = inputs
+        sigs = []
+        for l in range(n_lin):
+            inp = (jnp.concatenate([h, inputs], axis=-1) * inv_sqrt2
+                   if l in skip_in else h)
+            z = _dot(inp, ws[l]) + bs[l]
+            if l < n_lin - 1:
+                h, sig = _act_pair(z)
+                sigs.append(sig)
+            else:
+                h = z
+        out_ref[:] = jnp.concatenate([h[:, :1] / scale, h[:, 1:]], axis=-1)
 
         # reverse pass for the scalar sdf output (pre-/scale column 0)
         delta = jnp.broadcast_to(
             w_last_col, (inputs.shape[0], w_last_col.shape[1]))
         d_inputs = jnp.zeros_like(inputs)
         for l in range(n_lin - 2, -1, -1):
-            dact = jax.nn.sigmoid(100.0 * preacts[l])
-            delta = delta * dact
+            delta = delta * sigs[l]
             delta = _dot(delta, wts[l])
             if l in skip_in:
                 h_dim = wts[l].shape[1] - inputs.shape[1]
@@ -158,6 +205,145 @@ def _pad_to_tile(x):
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], 0)
     return x, n
+
+
+# ------------------------------------------------------------------
+# fused second-order backward (reverse over the fwd+grad graph)
+# ------------------------------------------------------------------
+#
+# Notation (skip at layer S, L linears, s = softplus(100.)/100):
+#   forward:  i0 = xe;  inp_l = concat[i_l, xe]/sqrt2 if l==S else i_l
+#             z_l = inp_l @ W_l + b_l;  i_{l+1} = s(z_l) (l<L-1);  y = z_{L-1}
+#   grad chain (reverse for scalar y0):
+#             d_{L-1} = W_{L-1}[:, 0]
+#             for l = L-2..0: e_l = d_{l+1} * s'(z_l); f_l = e_l @ W_l^T
+#                 if l==S: gpe += f_l[:, h:]/sqrt2; d_l = f_l[:, :h]/sqrt2
+#                 else:    d_l = f_l
+#             g = d_0 + gpe        (cotangent on xe)
+# VJP of (y, g) wrt (W, b, xe) given (ybar, gbar):
+#   Phase A (ascend l): reverse the grad chain.
+#     dbar_0 = gbar; at l==S the gpe branch also receives gbar.
+#     fbar = [dbar_l/sqrt2, gbar/sqrt2] at skip else dbar_l
+#     ebar = fbar @ W_l;        Wbar_l += fbar^T e_l
+#     dbar_{l+1} = ebar * s'(z_l)
+#     zbar_chain_l = ebar * d_{l+1} * s''(z_l)      <- Hessian term
+#     at l = L-1: Wbar_{L-1}[:, 0] += sum_N dbar_{L-1}
+#   Phase B (descend l): reverse the forward chain with the zbar seeds.
+#     zbar_{L-1} = ybar
+#     Wbar_l += inp_l^T zbar_l;  bbar_l += sum zbar_l
+#     inpbar = zbar_l @ W_l^T;  split at skip (xe part -> xebar)
+#     zbar_{l-1} = ibar_l * s'(z_{l-1}) + zbar_chain_{l-1}
+#     xebar += ibar_0
+# s'(z) = sigmoid(100z); s''(z) = 100 s' (1 - s').
+
+
+def _make_bwd_kernel_biased(cfg, n_lin):
+    """Like _make_bwd_kernel but takes biases so z includes them."""
+    skip_in = tuple(cfg.get("skip_in", (4,)))
+    S = skip_in[0] if skip_in else -1
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+
+    def kernel(*refs):
+        xe_ref, ybar_ref, gbar_ref = refs[0], refs[1], refs[2]
+        ws = [refs[3 + i][:] for i in range(n_lin)]
+        bs = [refs[3 + n_lin + i][:] for i in range(n_lin)]
+        wts = [refs[3 + 2 * n_lin + i][:] for i in range(n_lin)]
+        xebar_ref = refs[3 + 3 * n_lin]
+        dws = [refs[4 + 3 * n_lin + i] for i in range(n_lin)]
+        dbs = [refs[4 + 4 * n_lin + i] for i in range(n_lin)]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for l in range(n_lin):
+                dws[l][:] = jnp.zeros_like(dws[l])
+                dbs[l][:] = jnp.zeros_like(dbs[l])
+
+        xe = xe_ref[:]
+        ybar = ybar_ref[:]
+        gbar = gbar_ref[:]
+        T = xe.shape[0]
+
+        # forward, storing activations and sigmoids (one exp per layer)
+        acts = []   # acts[l] = s(z_l), l < L-1
+        sigs = []   # sigs[l] = s'(z_l)
+        h = xe
+        for l in range(n_lin):
+            inp = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
+                   if l == S else h)
+            z = _dot(inp, ws[l]) + bs[l]
+            if l < n_lin - 1:
+                h, sig = _act_pair(z)
+                acts.append(h)
+                sigs.append(sig)
+
+        # primal gradient chain, storing d_l
+        ds = [None] * n_lin
+        ds[n_lin - 1] = jnp.broadcast_to(
+            wts[n_lin - 1][0:1, :], (T, wts[n_lin - 1].shape[1]))
+        for l in range(n_lin - 2, -1, -1):
+            e = ds[l + 1] * sigs[l]
+            f = _dot(e, wts[l])
+            if l == S:
+                ds[l] = f[:, :wts[l].shape[1] - xe.shape[1]] * inv_sqrt2
+            else:
+                ds[l] = f
+
+        # Phase A: reverse the gradient chain (ascend l)
+        zbar_chain = [None] * n_lin
+        dbar = gbar
+        for l in range(0, n_lin - 1):
+            if l == S:
+                fbar = jnp.concatenate(
+                    [dbar * inv_sqrt2, gbar * inv_sqrt2], axis=-1)
+            else:
+                fbar = dbar
+            sp = sigs[l]
+            e = ds[l + 1] * sp
+            dws[l][:] += jax.lax.dot_general(
+                fbar.astype(jnp.bfloat16), e.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ebar = _dot(fbar, ws[l])
+            dbar = ebar * sp
+            spp = 100.0 * sp * (1.0 - sp)
+            zbar_chain[l] = ebar * ds[l + 1] * spp
+        col_bar = jnp.sum(dbar, axis=0, keepdims=True)
+        onehot = (jax.lax.broadcasted_iota(
+            jnp.int32, (1, ws[n_lin - 1].shape[1]), 1) == 0).astype(
+            jnp.float32)
+        dws[n_lin - 1][:] += jax.lax.dot_general(
+            col_bar, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        # Phase B: reverse the forward chain (descend l)
+        xebar = jnp.zeros_like(xe)
+        zbar = ybar
+        for l in range(n_lin - 1, -1, -1):
+            if l == 0:
+                inp = xe
+            else:
+                prev = acts[l - 1]
+                inp = (jnp.concatenate([prev, xe], axis=-1) * inv_sqrt2
+                       if l == S else prev)
+            dws[l][:] += jax.lax.dot_general(
+                inp.astype(jnp.bfloat16), zbar.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            dbs[l][:] += jnp.sum(zbar, axis=0, keepdims=True)
+            inpbar = _dot(zbar, wts[l])
+            if l == S:
+                h_dim = wts[l].shape[1] - xe.shape[1]
+                xebar = xebar + inpbar[:, h_dim:] * inv_sqrt2
+                ibar = inpbar[:, :h_dim] * inv_sqrt2
+            else:
+                ibar = inpbar
+            if l == 0:
+                xebar = xebar + ibar
+            else:
+                extra = zbar_chain[l - 1]
+                zbar = ibar * sigs[l - 1] + (extra if extra is not None
+                                             else 0.0)
+        xebar_ref[:] = xebar
+
+    return kernel
 
 
 def _weight_specs(ws, bs):
@@ -230,7 +416,60 @@ def _sdf_forward_grad_impl(ws, bs, x, cfg_key):
     # PE jacobian^T in XLA; the d/dx scale and the /scale on the sdf output
     # cancel, matching nets.sdf_gradient exactly
     grad = _pe_vjp(xs, d_inputs[:n], cfg["multires"])
-    return out[:n], grad
+    return out[:n], grad, d_inputs[:n]
+
+
+@partial(jax.jit, static_argnames=("cfg_key",))
+def _sdf_bwd_impl(ws, bs, x, ybar, gbar_inp, cfg_key):
+    """Fused second-order backward kernel dispatch.
+
+    ybar: cotangent on the raw last-layer output z_{L-1} [N, d_out];
+    gbar_inp: cotangent on d_inputs (pre PE-vjp) [N, pe_dim].
+    Returns (dws [in,out] list, dbs list, xebar [N, pe_dim]).
+    """
+    cfg = dict(cfg_key)
+    n_lin = len(ws)
+    pe_dim = ws[0].shape[0]
+    scale = cfg.get("scale", 1.0)
+    xe = positional_encode(x * scale, cfg["multires"])
+    xe, n = _pad_to_tile(xe)
+    ybar_p, _ = _pad_to_tile(ybar)
+    gbar_p, _ = _pad_to_tile(gbar_inp)
+    grid = xe.shape[0] // TILE
+    d_out = cfg["d_out"]
+    wts = [w.T for w in ws]
+    kernel = _make_bwd_kernel_biased(cfg, n_lin)
+    out_shapes = (
+        [jax.ShapeDtypeStruct((xe.shape[0], pe_dim), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
+    out_specs = (
+        [pl.BlockSpec((TILE, pe_dim), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in ws]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for b in bs])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((TILE, pe_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TILE, d_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TILE, pe_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + _weight_specs(ws, bs)
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in wts],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+    )(xe, ybar_p, gbar_p, *ws, *bs, *wts)
+    xebar = outs[0][:n]
+    dws = list(outs[1:1 + n_lin])
+    dbs = [b[0] for b in outs[1 + n_lin:]]
+    return dws, dbs, xebar
 
 
 def _cfg_key(cfg):
@@ -303,15 +542,19 @@ def sdf_apply_fused(params, cfg, x):
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
 def _sdf_apply_grad_op(params, cfg_key, x):
     ws, bs = _materialize(params, dict(cfg_key))
-    return _sdf_forward_grad_impl(ws, bs, x, cfg_key)
+    out, grad, _ = _sdf_forward_grad_impl(ws, bs, x, cfg_key)
+    return out, grad
 
 
 def _sdf_apply_grad_fwd(params, cfg_key, x):
-    return _sdf_apply_grad_op(params, cfg_key, x), (params, x)
+    ws, bs = _materialize(params, dict(cfg_key))
+    out, grad, d_inputs = _sdf_forward_grad_impl(ws, bs, x, cfg_key)
+    return (out, grad), (params, x, d_inputs)
 
 
-def _sdf_apply_grad_bwd(cfg_key, res, cts):
-    params, x = res
+def _sdf_apply_grad_bwd_ref(cfg_key, res, cts):
+    """XLA reference backward (correctness oracle / opt-out path)."""
+    params, x, _ = res
     cfg = dict(cfg_key)
 
     def ref(p, pts):
@@ -323,9 +566,43 @@ def _sdf_apply_grad_bwd(cfg_key, res, cts):
     return vjp(cts)
 
 
+def _sdf_apply_grad_bwd(cfg_key, res, cts):
+    """Fused second-order backward: one Pallas kernel computes every
+    weight/bias/input cotangent of (out, grad) with all intermediates in
+    VMEM (see the derivation above _make_bwd_kernel_biased)."""
+    import os
+    if os.environ.get("FMOV_FUSED_BWD", "1") == "0":
+        return _sdf_apply_grad_bwd_ref(cfg_key, res, cts)
+    params, x, d_inputs = res
+    cfg = dict(cfg_key)
+    scale = cfg.get("scale", 1.0)
+    multires = cfg["multires"]
+    ct_out, ct_grad = cts
+    xs = x * scale
+
+    # out = [z[:, :1]/scale, z[:, 1:]]  ->  cotangent on raw z
+    ybar = jnp.concatenate([ct_out[:, :1] / scale, ct_out[:, 1:]], axis=-1)
+    # grad = pe_vjp(xs, d_inputs)  ->  cotangent on d_inputs (linear part)
+    gbar_inp = _pe_jvp(xs, ct_grad, multires)
+
+    (ws, bs), mat_vjp = jax.vjp(
+        lambda p: _materialize(p, cfg), params)
+    dws, dbs, xebar = _sdf_bwd_impl(ws, bs, x, ybar, gbar_inp, cfg_key)
+
+    # xs cotangent: through PE for the forward input, plus the
+    # xs-dependence of pe_vjp itself (second PE derivative)
+    xsbar = _pe_vjp(xs, xebar, multires) \
+        + _pe_second_term(xs, d_inputs, ct_grad, multires)
+    xbar = xsbar * scale
+
+    (pbar,) = mat_vjp((dws, [db[None, :] for db in dbs]))
+    return pbar, xbar
+
+
 _sdf_apply_grad_op.defvjp(_sdf_apply_grad_fwd, _sdf_apply_grad_bwd)
 
 
 def sdf_apply_grad_fused(params, cfg, x):
-    """(out [N, d_out], grad [N, 3]) in one fused kernel."""
+    """(out [N, d_out], grad [N, 3]) in one fused kernel, with a fused
+    second-order backward (set FMOV_FUSED_BWD=0 for the XLA reference)."""
     return _sdf_apply_grad_op(params, _cfg_key(cfg), x)

@@ -162,6 +162,10 @@ class Runner:
         # mesh grids, eval renders); auto-disabled on CPU
         self.model_cfg["sdf"]["use_fused"] = conf.get_bool(
             "train.use_fused_kernels", True)
+        # fully-fused fwd+grad+second-order-backward Pallas train path
+        # (~15% faster; grads agree with XLA to <1%; opt-in)
+        self.model_cfg["sdf"]["use_fused_train"] = conf.get_bool(
+            "train.use_fused_train_kernels", False)
         self.variance_cfg = conf["model.variance_network"].as_plain_dict()
 
         # -------- pose mode + initial poses
