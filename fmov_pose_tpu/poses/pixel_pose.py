@@ -129,7 +129,7 @@ def _t_features(cfg: DeepPoseCfg, static, cam_id):
         return static["t_embed"][jnp.asarray(cam_id, jnp.int32)]
     # position PE on normalized id (`pixel_pose.py:268-271`)
     t = cam_f / cfg.n_images
-    return positional_encode(t[None], cfg.t_multires)[0]
+    return positional_encode(t[None, None], cfg.t_multires)[0]
 
 
 def deep_pose_apply(params: Params, cfg: DeepPoseCfg, cam_id,
