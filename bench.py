@@ -20,7 +20,8 @@ import numpy as np
 A100_BASELINE_RAYS_PER_SEC = 7680.0  # 512 rays/iter * ~15 it/s envelope
 
 
-def build(batch_size, use_fused_train=False):
+def build(batch_size, use_fused_train=False, phase2=False,
+          occupancy=False):
     import jax
     import jax.numpy as jnp
 
@@ -30,7 +31,10 @@ def build(batch_size, use_fused_train=False):
     from fmov_pose_tpu.render import neus
     from fmov_pose_tpu.train import optim, step as step_mod
 
-    model_cfg = ge._model_cfg(n_samples=32, n_importance=0)
+    if phase2:
+        model_cfg = ge._model_cfg(n_samples=64, n_importance=64)
+    else:
+        model_cfg = ge._model_cfg(n_samples=32, n_importance=0)
     model_cfg = dict(model_cfg)
     for net in ("sdf", "color", "nerf"):
         model_cfg[net] = dict(model_cfg[net], compute_dtype="bfloat16")
@@ -59,11 +63,18 @@ def build(batch_size, use_fused_train=False):
         segment_img_num=1, pose_mode="seg", pose_cfg=pose_cfg,
         igr_weight=0.1, mask_weight=5.0, flow_weight=0.1,
         mask_guided_sampling=True, mask_guided_patch_size=10,
-        maintain_shape=True)
+        maintain_shape=True, occupancy_sampling=occupancy)
 
+    pose_static = {}
+    if occupancy:
+        from fmov_pose_tpu.render import occupancy as occ_mod
+        pts = jnp.asarray(occ_mod.make_grid_points(64))
+        sdf = nets.sdf_only(params["sdf"], model_cfg["sdf"], pts)[:, 0]
+        pose_static["occ_grid"] = occ_mod.update_occ_grid(sdf, 64)
     state = step_mod.TrainState(
         params=params, opt=optim.adam_init(params), pose_bank=bank,
-        pose_opt=optim.seg_adam_init(bank["train"], n_seg), pose_static={},
+        pose_opt=optim.seg_adam_init(bank["train"], n_seg),
+        pose_static=pose_static,
         key=jax.random.key(1), iter_step=jnp.zeros((), jnp.int32))
 
     photo_step = step_mod.make_photo_step(cfg, images, masks, intr_inv, bbox)
@@ -97,16 +108,21 @@ def time_steps(photo_step, state, packed, warmup=5, iters=30):
 def main():
     best = 0.0
     details = {}
-    for batch, fused in ((512, False), (512, True), (4096, True),
-                         (16384, True)):
-        tag = f"batch_{batch}" + ("_fusedbwd" if fused else "")
+    for batch, fused, phase2, occ in (
+            (512, False, False, False), (512, True, False, False),
+            (4096, True, False, False), (16384, True, False, False),
+            (4096, True, True, False), (4096, True, True, True)):
+        tag = f"batch_{batch}" + ("_fusedbwd" if fused else "") \
+            + ("_phase2" if phase2 else "") + ("_occ" if occ else "")
         try:
-            photo_step, state, packed = build(batch, use_fused_train=fused)
+            photo_step, state, packed = build(
+                batch, use_fused_train=fused, phase2=phase2, occupancy=occ)
             steps_per_sec, _ = time_steps(photo_step, state, packed)
             rays_per_step = batch * 2  # maintain_shape doubles the rays
             rays_per_sec = steps_per_sec * rays_per_step
             details[tag] = round(rays_per_sec)
-            best = max(best, rays_per_sec)
+            if not phase2:
+                best = max(best, rays_per_sec)
         except Exception as e:  # keep the bench alive on OOM etc.
             details[tag] = f"failed: {str(e)[:120]}"
     print(json.dumps({

@@ -254,7 +254,7 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
 def render(key, params, model_cfg, rays_o, rays_d, near, far,
            perturb_overwrite: float = -1.0, background_rgb=None,
            cos_anneal_ratio: float = 1.0, eval_mode: bool = False,
-           eikonal_parts: bool = False):
+           eikonal_parts: bool = False, occ_grid=None):
     """Full hierarchical render (`renderer.py:374-498`). Returns the same
     output dict as the reference (`color_fine`, `depth_fine`, `s_val`, ...)."""
     cfg: RenderCfg = model_cfg["renderer"]
@@ -288,7 +288,15 @@ def render(key, params, model_cfg, rays_o, rays_d, near, far,
     background_sampled_color = None
     n_samples_total = cfg.n_samples
 
-    if cfg.n_importance > 0:
+    if cfg.n_importance > 0 and occ_grid is not None:
+        # occupancy-grid guided placement (opt-in, render/occupancy.py):
+        # one gather instead of 5 SDF forward passes
+        from fmov_pose_tpu.render import occupancy
+        key, k_occ = jax.random.split(key)
+        z_vals = occupancy.occupancy_importance(
+            k_occ, occ_grid, rays_o, rays_d, z_vals, cfg.n_importance)
+        n_samples_total = cfg.n_samples + cfg.n_importance
+    elif cfg.n_importance > 0:
         # SDF-guided upsampling is gradient-free (`renderer.py:424` no_grad)
         def _upsample(z_vals):
             pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]

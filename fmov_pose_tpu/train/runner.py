@@ -166,6 +166,13 @@ class Runner:
         # (~15% faster; grads agree with XLA to <1%; opt-in)
         self.model_cfg["sdf"]["use_fused_train"] = conf.get_bool(
             "train.use_fused_train_kernels", False)
+        # occupancy-grid guided importance sampling (opt-in; replaces the
+        # SDF-guided upsample passes with a cached-grid gather)
+        self.occupancy_sampling = (
+            conf.get_bool("train.occupancy_sampling", False)
+            and self.model_cfg["renderer"].n_importance > 0)
+        self.occ_grid_res = conf.get_int("train.occ_grid_res", 64)
+        self.occ_update_freq = conf.get_int("train.occ_update_freq", 250)
         self.variance_cfg = conf["model.variance_network"].as_plain_dict()
 
         # -------- pose mode + initial poses
@@ -271,6 +278,12 @@ class Runner:
             pose_static = {"pose_all": jnp.asarray(
                 self.dataset.pose_all, jnp.float32)}
 
+        if getattr(self, "occupancy_sampling", False):
+            # start fully occupied (= uniform importance) until first update
+            pose_static = dict(pose_static)
+            pose_static["occ_grid"] = jnp.ones(
+                (self.occ_grid_res,) * 3, jnp.float32)
+
         self.state = step_mod.TrainState(
             params=params,
             opt=optim.adam_init(params),
@@ -291,6 +304,7 @@ class Runner:
             pose_mode=self.pose_mode,
             pose_cfg=self.pose_cfg,
             deep_pose_cfg=self.deep_pose_cfg,
+            occupancy_sampling=getattr(self, "occupancy_sampling", False),
             igr_weight=self.igr_weight,
             mask_weight=self.mask_weight,
             flow_weight=self.flow_weight,
@@ -444,6 +458,25 @@ class Runner:
         return sorted({int(i) // self.image_interval for i in ids
                        if i is not None and i >= 0})
 
+    def update_occ_grid(self):
+        """Refresh the occupancy grid from the current SDF (device-side)."""
+        from fmov_pose_tpu.render import occupancy
+        if not hasattr(self, "_occ_pts"):
+            self._occ_pts = jnp.asarray(
+                occupancy.make_grid_points(self.occ_grid_res))
+            sdf_cfg = self.model_cfg["sdf"]
+
+            @jax.jit
+            def occ_fn(sdf_params):
+                sdf = nets.sdf_only(sdf_params, sdf_cfg, self._occ_pts)
+                return occupancy.update_occ_grid(sdf, self.occ_grid_res)
+
+            self._occ_fn = occ_fn
+        new_grid = self._occ_fn(self.state.params["sdf"])
+        ps = dict(self.state.pose_static)
+        ps["occ_grid"] = new_grid
+        self.state = self.state._replace(pose_static=ps)
+
     def reset_neus(self, seed=None):
         """Fresh SDF/color/NeRF/variance + optimizer, keep pose nets
         (`exp_runner.py:367-397`)."""
@@ -456,6 +489,10 @@ class Runner:
         self.state = self.state._replace(
             params=params, opt=optim.adam_init(params),
             iter_step=jnp.zeros((), jnp.int32))
+        if getattr(self, "occupancy_sampling", False):
+            ps = dict(self.state.pose_static)
+            ps["occ_grid"] = jnp.ones((self.occ_grid_res,) * 3, jnp.float32)
+            self.state = self.state._replace(pose_static=ps)
         self.iter_step = 0
         self.mesh_warmup_step = self.conf.get_int("train.mesh_warmup_step", 0)
 
@@ -548,6 +585,10 @@ class Runner:
 
             self.iter_step += 1
             rays_done += self.batch_size * (2 if self.maintain_shape else 1)
+
+            if (self.occupancy_sampling
+                    and self.iter_step % self.occ_update_freq == 0):
+                self.update_occ_grid()
 
             if self.gradient_analysis and self.iter_step % self.report_freq == 1:
                 try:

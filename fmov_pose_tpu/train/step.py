@@ -70,6 +70,7 @@ class StepConfig:
     detach_ref: bool = False
     detach_flow_on_sdf: bool = False
     only_rotation: bool = False
+    occupancy_sampling: bool = False  # occ-grid guided importance (opt-in)
     model_cfg: Dict[str, Any] = field(default=None)
     deep_pose_cfg: Any = None   # DeepPoseCfg for pose_mode == "seg_pixel"
 
@@ -194,10 +195,14 @@ def _render_and_losses(cfg: StepConfig, key, params, pose_bank, pose_static,
 
     render_params = {k: v for k, v in params.items()
                      if k in ("sdf", "color", "nerf", "variance")}
+    occ_grid = (pose_static.get("occ_grid")
+                if cfg.occupancy_sampling and isinstance(pose_static, dict)
+                else None)
     out = neus.render(key, render_params, cfg.model_cfg, rays_o, rays_d,
                       near, far, background_rgb=background_rgb,
                       cos_anneal_ratio=scalars.cos_anneal,
-                      eikonal_parts=axis_name is not None)
+                      eikonal_parts=axis_name is not None,
+                      occ_grid=occ_grid)
     if axis_name is not None:
         num, den = out["gradient_error"]
         out["gradient_error"] = _psum(num, axis_name) / (

@@ -34,7 +34,8 @@ train {{ learning_rate = 5e-4
         report_freq = 500
         igr_weight = 0.1
         mask_weight = 0.1
-        compute_dtype = {dtype} }}
+        compute_dtype = {dtype}
+        occupancy_sampling = {occ} }}
 model {{
     nerf {{ D = 8, d_in = 4, d_in_view = 3, W = 256, multires = 10,
            multires_view = 4, output_ch = 4, skips=[4], use_viewdirs=True }}
@@ -56,6 +57,7 @@ def main():
     parser.add_argument("--iters", type=int, default=3000)
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--frames", type=int, default=12)
+    parser.add_argument("--occupancy", action="store_true")
     parser.add_argument("--res", type=int, default=128)
     args = parser.parse_args()
 
@@ -75,7 +77,8 @@ def main():
     with open(conf_path, "w") as f:
         f.write(CONF.format(exp_dir=os.path.join(work, "exp"),
                             data_dir=data_dir, iters=args.iters,
-                            dtype=args.dtype))
+                            dtype=args.dtype,
+                            occ="True" if args.occupancy else "False"))
 
     t0 = time.time()
     runner = Runner(conf_path, mode="train", case="SYN", has_global_conf=True)
@@ -96,6 +99,7 @@ def main():
 
     print(json.dumps({
         "dtype": args.dtype, "iters": args.iters,
+        "occupancy": args.occupancy,
         "train_time_s": round(train_time, 1),
         "iters_per_sec": round(args.iters / train_time, 2),
         "psnr": round(psnr, 2),
