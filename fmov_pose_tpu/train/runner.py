@@ -323,6 +323,7 @@ class Runner:
         use_dp = self.conf.get_bool("train.data_parallel", n_dev > 1) \
             and n_dev > 1 and self.batch_size % n_dev == 0 \
             and (self.batch_size // 2) % n_dev == 0
+        self.use_dp = use_dp
         if use_dp:
             from fmov_pose_tpu.parallel import dp
             dp.maybe_initialize_distributed()
@@ -497,9 +498,82 @@ class Runner:
         self.mesh_warmup_step = self.conf.get_int("train.mesh_warmup_step", 0)
 
     # ------------------------------------------------------------------
+    def _scan_eligible(self):
+        """Non-progressive phases can run k steps per dispatch (lax.scan):
+        every per-step decision is a pure function of iter_step."""
+        if not self.conf.get_bool("train.scan_steps", True):
+            return 0
+        if (self.pose_mode not in ("fixed", "gf") or self.flow_weight > 0
+                or self.progressive or self.maintain_shape
+                or self.gradient_analysis or self.reset_based_on_rot
+                or self.mesh_warmup_step > 0 or self.use_dp):
+            return 0
+        k = self.conf.get_int("train.scan_chunk", 100)
+        freqs = [self.report_freq, self.val_freq, self.val_mesh_freq,
+                 self.save_freq, self.pose_freq]
+        if self.occupancy_sampling:
+            freqs.append(self.occ_update_freq)
+        if any(f % k for f in freqs) or self.iter_step % k:
+            return 0
+        return k
+
+    def _train_scan(self, k):
+        """Fast path: k jitted steps per host dispatch."""
+        schedule = {
+            "learning_rate": self.learning_rate,
+            "learning_rate_alpha": self.learning_rate_alpha,
+            "warm_up_end": self.warm_up_end, "end_iter": self.end_iter,
+            "anneal_end": self.anneal_end,
+            "mask_guided": 1.0 if self.mask_guided_sampling else 0.0,
+        }
+        scan = step_mod.make_scan_photo_steps(
+            self.step_cfg, self.images_dev, self.masks_dev,
+            self.intr_inv_dev, self.bbox_dev, schedule, k)
+        n_cur = jnp.asarray(self.current_image, jnp.int32)
+        t_start = time.time()
+        rays_done = 0
+        while self.iter_step + k <= self.end_iter:
+            self.state, metrics = scan(self.state, n_cur)
+            self.iter_step += k
+            rays_done += k * self.batch_size
+            if self.iter_step % self.report_freq == 0:
+                m = {kk: float(v) for kk, v in metrics.items()}
+                dt = time.time() - t_start
+                LOG.info("iter %d loss=%.4f psnr=%.2f rays/s=%.0f (scan x%d)",
+                         self.iter_step, m["loss"], m["psnr"],
+                         rays_done / max(dt, 1e-9), k)
+                if self.writer:
+                    for kk, v in m.items():
+                        self.writer.add_scalar(f"Loss/{kk}", v, self.iter_step)
+            if self.iter_step % self.val_freq == 0:
+                try:
+                    self.validate_image()
+                except Exception as e:
+                    LOG.warning("validate_image failed: %s", e)
+            if self.iter_step % self.pose_freq == 0:
+                try:
+                    self.validate_poses()
+                except Exception as e:
+                    LOG.warning("validate_poses failed: %s", e)
+            if self.iter_step % self.val_mesh_freq == 0:
+                try:
+                    self.validate_mesh()
+                except Exception as e:
+                    LOG.warning("validate_mesh failed: %s", e)
+            if (self.occupancy_sampling
+                    and self.iter_step % self.occ_update_freq == 0):
+                self.update_occ_grid()
+            if self.iter_step % self.save_freq == 0 and self.iter_step > 0:
+                self.save_checkpoint()
+        self.save_checkpoint()
+
     def train(self):
         from tensorboardX import SummaryWriter
         self.writer = SummaryWriter(os.path.join(self.base_exp_dir, "logs"))
+        k_scan = self._scan_eligible()
+        if k_scan:
+            LOG.info("scan training: %d steps per dispatch", k_scan)
+            return self._train_scan(k_scan)
         res_step = self.end_iter - self.iter_step
         if self.maintain_shape:
             image_perm = self.get_current_image_perm()

@@ -383,10 +383,7 @@ def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
         return _render_and_losses(cfg, k3, params, bank, state.pose_static,
                                   data, scalars)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, packed_scalars):
-        scalars, img_id, add_img_id, _ = unpack_scalars(
-            packed_scalars, cfg.n_segments)
+    def run_one(state: TrainState, scalars: StepScalars, img_id, add_img_id):
         key, sub = jax.random.split(state.key)
         bank_train = (state.pose_bank["train"]
                       if cfg.pose_mode in ("seg", "seg_pixel") else ())
@@ -398,7 +395,70 @@ def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
         return TrainState(new_params, new_opt, new_bank, new_pose_opt,
                           state.pose_static, key, state.iter_step + 1), metrics
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, packed_scalars):
+        scalars, img_id, add_img_id, _ = unpack_scalars(
+            packed_scalars, cfg.n_segments)
+        return run_one(state, scalars, img_id, add_img_id)
+
+    step.run_one = run_one
     return step
+
+
+def make_scan_photo_steps(cfg: StepConfig, images, masks, intr_inv_all,
+                          bbox_table, schedule: Dict[str, float],
+                          k_steps: int):
+    """Run k_steps photometric steps inside ONE jitted lax.scan.
+
+    For the non-progressive phases (GT-pose NeuS, the phase-2 "gf" global
+    refinement) every per-step quantity is a pure function of iter_step:
+    cosine LR (`exp_runner.py:1049-1062`), cos-anneal ratio, uniform frame
+    choice.  Scanning removes the per-step host dispatch, which costs more
+    than the compute itself on a tunneled chip (~15 ms/step).
+
+    schedule: learning_rate, learning_rate_alpha, warm_up_end, end_iter,
+    anneal_end, mask_guided (0/1).  Frames are drawn iid-uniform from
+    [0, n_images_cur) (the reference draws epoch permutations; identical
+    marginal distribution).
+    """
+    base_step = make_photo_step(cfg, images, masks, intr_inv_all, bbox_table)
+    run_one = base_step.run_one
+    lr0 = schedule["learning_rate"]
+    alpha = schedule["learning_rate_alpha"]
+    warm_up = schedule["warm_up_end"]
+    end_iter = schedule["end_iter"]
+    anneal_end = schedule.get("anneal_end", 0.0)
+    mask_guided = schedule.get("mask_guided", 1.0)
+    S = cfg.n_segments
+
+    def device_scalars(it_f):
+        warm = it_f / jnp.maximum(warm_up, 1.0)
+        progress = (it_f - warm_up) / jnp.maximum(end_iter - warm_up, 1.0)
+        cosf = (jnp.cos(jnp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
+        lr = lr0 * jnp.where(it_f < warm_up, warm, cosf)
+        cos_anneal = (jnp.ones(()) if anneal_end == 0.0
+                      else jnp.minimum(1.0, it_f / anneal_end))
+        return StepScalars(
+            lr=lr, cos_anneal=cos_anneal, main_update=jnp.ones(()),
+            pose_update=jnp.ones(()), mask_guided=jnp.asarray(mask_guided),
+            seg_touch=jnp.ones((S,)), seg_freeze=jnp.ones((S,)),
+            seg_lr=jnp.full((S,), lr0), trans_head_on=jnp.ones(()))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def scan_steps(state: TrainState, n_images_cur):
+        def body(st, _):
+            it_f = st.iter_step.astype(jnp.float32)
+            scalars = device_scalars(it_f)
+            key_img = jax.random.fold_in(st.key, 1)
+            img_id = jax.random.randint(key_img, (), 0, n_images_cur)
+            st, metrics = run_one(st, scalars, img_id, jnp.zeros((), jnp.int32))
+            return st, metrics
+        state, metrics = jax.lax.scan(body, state, None, length=k_steps)
+        mean_metrics = jax.tree_util.tree_map(
+            lambda m: m.mean() if hasattr(m, "mean") else m, metrics)
+        return state, mean_metrics
+
+    return scan_steps
 
 
 def make_flow_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
