@@ -141,8 +141,33 @@ class Dataset:
         self.focal = self.intrinsics_all[0][0, 0]
         self.image_pixels = self.H * self.W
 
+        self._load_depths(conf, sl)
         self._compute_mask_bboxes()
         self._compute_object_bbox()
+
+    def _load_depths(self, conf, sl):
+        """Optional per-frame z-depth maps (depth/ dir; npy or png).
+
+        The reference's mono-depth path was an unreleased extension that
+        crashed when enabled (`dataset.py:518-523`); this is the working
+        equivalent, used when train.depth_weight > 0."""
+        self.depths_np = None
+        if not (conf.get_bool("use_mono_depth", False)
+                or conf.get_bool("load_depth", False)):
+            return
+        depth_dir = os.path.join(self.data_dir, "depth")
+        if not os.path.isdir(depth_dir):
+            return
+        depths = []
+        for f in sorted(os.listdir(depth_dir)):
+            path = os.path.join(depth_dir, f)
+            if f.endswith("png"):
+                depths.append(cv.imread(path, cv.IMREAD_UNCHANGED)
+                              .astype(np.float32))
+            else:
+                depths.append(np.load(path).astype(np.float32))
+        if depths:
+            self.depths_np = np.stack(depths)[sl]
 
     # ------------------------------------------------------------------
     def _load_cameras(self, conf, camera_dict):

@@ -53,7 +53,7 @@ def pixels_to_rays(px, py, intr_inv, pose):
 def gen_random_rays(key, images, masks, intr_inv_all, pose, img_idx,
                     batch_size: int, bbox_table, patch_size: int,
                     mask_guided: bool, H: int, W: int,
-                    mask_guided_active=None):
+                    mask_guided_active=None, depths=None):
     """Random ray batch from one frame (`dataset.py:634-681`).
 
     images: [N, H, W, 3], masks: [N, H, W] (single channel), intr_inv_all: [N, 4, 4],
@@ -82,9 +82,13 @@ def gen_random_rays(key, images, masks, intr_inv_all, pose, img_idx,
 
     color = gather_rgb(images, img_idx, py, px)  # [batch, 3]
     mask = masks[img_idx][py, px][..., None]  # [batch, 1]
-    rays_o, rays_v, _ = pixels_to_rays(
+    rays_o, rays_v, p_norm = pixels_to_rays(
         px.astype(jnp.float32), py.astype(jnp.float32),
         intr_inv_all[img_idx], pose)
+    if depths is not None:
+        # z-depth -> ray-length depth (`dataset.py:672-676`)
+        depth = depths[img_idx][py, px][..., None] * p_norm
+        return jnp.concatenate([rays_o, rays_v, color, mask, depth], axis=-1)
     return jnp.concatenate([rays_o, rays_v, color, mask], axis=-1)
 
 

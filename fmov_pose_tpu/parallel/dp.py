@@ -43,7 +43,7 @@ def make_mesh(n_devices=None):
 
 
 def make_dp_photo_step(cfg: step_mod.StepConfig, images, masks, intr_inv_all,
-                       bbox_table, mesh: Mesh):
+                       bbox_table, mesh: Mesh, depths=None):
     """Photometric step with the ray batch sharded over mesh axis "data".
 
     cfg.batch_size is the GLOBAL batch; each device samples
@@ -64,7 +64,8 @@ def make_dp_photo_step(cfg: step_mod.StepConfig, images, masks, intr_inv_all,
         data = raygen.gen_random_rays(
             k1, images, masks, intr_inv_all, pose0, img_id, local_batch,
             bbox_table, cfg.mask_guided_patch_size, cfg.mask_guided_sampling,
-            cfg.H, cfg.W, mask_guided_active=scalars.mask_guided)
+            cfg.H, cfg.W, mask_guided_active=scalars.mask_guided,
+            depths=depths)
         if cfg.maintain_shape:
             pose_a = step_mod.pose_of_frame(cfg, params, bank, pose_static,
                                             add_img_id)
@@ -72,7 +73,7 @@ def make_dp_photo_step(cfg: step_mod.StepConfig, images, masks, intr_inv_all,
                 k2, images, masks, intr_inv_all, pose_a, add_img_id,
                 local_batch, bbox_table, cfg.mask_guided_patch_size,
                 cfg.mask_guided_sampling, cfg.H, cfg.W,
-                mask_guided_active=scalars.mask_guided)
+                mask_guided_active=scalars.mask_guided, depths=depths)
             data = jnp.concatenate([data, add], axis=0)
         total, metrics = step_mod._render_and_losses(
             cfg, k3, params, bank, pose_static, data, scalars,

@@ -82,6 +82,8 @@ class Runner:
         os.makedirs(self.base_exp_dir, exist_ok=True)
         conf.put("dataset.start_idx", start_img_idx)
 
+        if conf.get_float("train.depth_weight", 0.0) > 0:
+            conf.put("dataset.load_depth", True)
         self.dataset = Dataset(conf["dataset"], exp_dir)
         self.iter_step = 0
 
@@ -238,6 +240,9 @@ class Runner:
         d = self.dataset
         self.images_dev = jnp.asarray(
             d.images_np.transpose(3, 0, 1, 2), jnp.float32)  # [3, N, H, W]
+        self.depths_dev = (jnp.asarray(d.depths_np, jnp.float32)
+                           if getattr(d, "depths_np", None) is not None
+                           and self.depth_weight > 0 else None)
         self.masks_dev = jnp.asarray(d.masks_np[..., 0], jnp.float32)
         self.intr_inv_dev = jnp.asarray(d.intrinsics_all_inv, jnp.float32)
         self.bbox_dev = jnp.asarray(d.mask_bboxes, jnp.int32)
@@ -308,6 +313,8 @@ class Runner:
             igr_weight=self.igr_weight,
             mask_weight=self.mask_weight,
             flow_weight=self.flow_weight,
+            depth_weight=(self.depth_weight
+                          if self.depths_dev is not None else 0.0),
             unit_sphere_weight=self.unit_sphere_weight,
             use_white_bkgd=self.use_white_bkgd,
             mask_guided_sampling=self.mask_guided_sampling,
@@ -331,14 +338,15 @@ class Runner:
             LOG.info("data-parallel over %d devices", mesh.shape[dp.AXIS])
             self.photo_step = dp.make_dp_photo_step(
                 self.step_cfg, self.images_dev, self.masks_dev,
-                self.intr_inv_dev, self.bbox_dev, mesh)
+                self.intr_inv_dev, self.bbox_dev, mesh,
+                depths=self.depths_dev)
             self.flow_step = dp.make_dp_flow_step(
                 self.step_cfg, self.images_dev, self.masks_dev,
                 self.intr_inv_dev, self.bbox_dev, mesh)
         else:
             self.photo_step = step_mod.make_photo_step(
                 self.step_cfg, self.images_dev, self.masks_dev,
-                self.intr_inv_dev, self.bbox_dev)
+                self.intr_inv_dev, self.bbox_dev, depths=self.depths_dev)
             self.flow_step = step_mod.make_flow_step(
                 self.step_cfg, self.images_dev, self.masks_dev,
                 self.intr_inv_dev, self.bbox_dev)
@@ -528,7 +536,8 @@ class Runner:
         }
         scan = step_mod.make_scan_photo_steps(
             self.step_cfg, self.images_dev, self.masks_dev,
-            self.intr_inv_dev, self.bbox_dev, schedule, k)
+            self.intr_inv_dev, self.bbox_dev, schedule, k,
+            depths=self.depths_dev)
         n_cur = jnp.asarray(self.current_image, jnp.int32)
         t_start = time.time()
         rays_done = 0

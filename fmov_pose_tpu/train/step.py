@@ -62,6 +62,7 @@ class StepConfig:
     igr_weight: float = 0.1
     mask_weight: float = 0.0
     flow_weight: float = 0.0
+    depth_weight: float = 0.0
     unit_sphere_weight: float = 0.0
     use_white_bkgd: bool = False
     mask_guided_sampling: bool = False
@@ -183,6 +184,7 @@ def _render_and_losses(cfg: StepConfig, key, params, pose_bank, pose_static,
     """
     rays_o, rays_d = data[:, :3], data[:, 3:6]
     true_rgb, mask = data[:, 6:9], data[:, 9:10]
+    depth_gt = data[:, 10:11] if data.shape[1] > 10 else None
     near, far = raygen.near_far_from_sphere(rays_o, rays_d)
     background_rgb = jnp.ones((1, 3)) if cfg.use_white_bkgd else None
 
@@ -238,13 +240,27 @@ def _render_and_losses(cfg: StepConfig, key, params, pose_bank, pose_static,
         flow_loss = _flow_loss(cfg, params, pose_bank, pose_static, out,
                                flow_ctx, axis_name=axis_name)
 
+    depth_loss = 0.0
+    if cfg.depth_weight > 0.0 and depth_gt is not None:
+        # masked L1 over valid-depth in-mask rays (`exp_runner.py:698-708`);
+        # the reference's own depth path was unreleased/broken — this is
+        # the working equivalent, static-shape via a validity weight
+        valid = jax.lax.stop_gradient(
+            ((mask > 0.5) & (depth_gt > 0)).astype(jnp.float32))
+        num = _psum((jnp.abs(out["depth_fine"] - depth_gt) * valid).sum(),
+                    axis_name)
+        den = _psum(valid.sum(), axis_name) + 1e-8
+        depth_loss = num / den * cfg.depth_weight
+
     total = (color_loss + eikonal_loss * cfg.igr_weight
-             + mask_loss * cfg.mask_weight + unit_sphere_loss + flow_loss)
+             + mask_loss * cfg.mask_weight + unit_sphere_loss + flow_loss
+             + depth_loss)
 
     metrics = {
         "loss": total, "color_loss": color_loss, "eikonal_loss": eikonal_loss,
         "mask_loss": mask_loss, "flow_loss": flow_loss,
-        "unit_sphere_loss": unit_sphere_loss, "psnr": psnr,
+        "unit_sphere_loss": unit_sphere_loss, "depth_loss": depth_loss,
+        "psnr": psnr,
         "s_val": out["s_val"].mean(),
         "cdf": (out["cdf_fine"][:, :1] * mask).sum() / mask_sum,
         "weight_max": (out["weight_max"] * mask).sum() / mask_sum,
@@ -357,7 +373,8 @@ def _apply_updates(cfg: StepConfig, state: TrainState, grads_params,
 # ---------------------------------------------------------------------------
 
 
-def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
+def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table,
+                    depths=None):
     """Photometric step. Dynamic args: img_id, add_img_id, scalars."""
 
     def loss_fn(params, bank_train, state: TrainState, key, img_id,
@@ -370,7 +387,7 @@ def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
             k1, images, masks, intr_inv_all, pose0, img_id, cfg.batch_size,
             bbox_table, cfg.mask_guided_patch_size,
             cfg.mask_guided_sampling, cfg.H, cfg.W,
-            mask_guided_active=scalars.mask_guided)
+            mask_guided_active=scalars.mask_guided, depths=depths)
         if cfg.maintain_shape:
             pose_a = pose_of_frame(cfg, params, bank, state.pose_static,
                                    add_img_id)
@@ -378,7 +395,7 @@ def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
                 k2, images, masks, intr_inv_all, pose_a, add_img_id,
                 cfg.batch_size, bbox_table, cfg.mask_guided_patch_size,
                 cfg.mask_guided_sampling, cfg.H, cfg.W,
-                mask_guided_active=scalars.mask_guided)
+                mask_guided_active=scalars.mask_guided, depths=depths)
             data = jnp.concatenate([data, add], axis=0)
         return _render_and_losses(cfg, k3, params, bank, state.pose_static,
                                   data, scalars)
@@ -407,7 +424,7 @@ def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
 
 def make_scan_photo_steps(cfg: StepConfig, images, masks, intr_inv_all,
                           bbox_table, schedule: Dict[str, float],
-                          k_steps: int):
+                          k_steps: int, depths=None):
     """Run k_steps photometric steps inside ONE jitted lax.scan.
 
     For the non-progressive phases (GT-pose NeuS, the phase-2 "gf" global
@@ -421,7 +438,8 @@ def make_scan_photo_steps(cfg: StepConfig, images, masks, intr_inv_all,
     [0, n_images_cur) (the reference draws epoch permutations; identical
     marginal distribution).
     """
-    base_step = make_photo_step(cfg, images, masks, intr_inv_all, bbox_table)
+    base_step = make_photo_step(cfg, images, masks, intr_inv_all, bbox_table,
+                                depths=depths)
     run_one = base_step.run_one
     lr0 = schedule["learning_rate"]
     alpha = schedule["learning_rate_alpha"]

@@ -9,7 +9,8 @@ import cv2
 import numpy as np
 
 __all__ = ["shrink_mask", "calculate_mask_metrics", "colorize_np",
-           "flow_to_color", "draw_matches", "normalize_pose_translation"]
+           "flow_to_color", "draw_matches", "normalize_pose_translation",
+           "cluster_and_color_image", "get_center_radius"]
 
 
 def shrink_mask(mask: np.ndarray, shrink_ratio: float = 0.9) -> np.ndarray:
@@ -129,3 +130,25 @@ def normalize_pose_translation(pose: np.ndarray) -> np.ndarray:
     if n > 1e-9:
         out[:3, 3] /= n
     return out
+
+
+def cluster_and_color_image(image: np.ndarray, n_clusters: int = 5,
+                            seed: int = 0):
+    """KMeans color clustering of an image (`util.py:79`). Returns the
+    label map and the cluster-colored image."""
+    from sklearn.cluster import KMeans
+    h, w = image.shape[:2]
+    pixels = image.reshape(-1, image.shape[-1]).astype(np.float64)
+    km = KMeans(n_clusters=n_clusters, n_init=4, random_state=seed)
+    labels = km.fit_predict(pixels)
+    colored = km.cluster_centers_[labels].reshape(h, w, -1)
+    return labels.reshape(h, w), colored.astype(image.dtype)
+
+
+def get_center_radius(vertices: np.ndarray):
+    """Bbox center + max radius of a point set (`dataset.py:87-92`)."""
+    bbox_max = vertices.max(axis=0)
+    bbox_min = vertices.min(axis=0)
+    center = (bbox_max + bbox_min) * 0.5
+    radius = np.linalg.norm(vertices - center, axis=-1).max()
+    return center, radius
