@@ -20,7 +20,7 @@ Numerics match the reference exactly: sigmoid-CDF alpha
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fmov_pose_tpu.core import lie
 from fmov_pose_tpu.data import hocon
 from fmov_pose_tpu.data import rays as raygen
 from fmov_pose_tpu.data.dataset import Dataset
@@ -227,6 +226,11 @@ class Runner:
                 os.path.join(self.base_exp_dir, "checkpoints"))
             if latest is not None:
                 self.load_checkpoint(latest)
+            else:
+                LOG.warning(
+                    "--is_continue: no checkpoint under %s — starting from "
+                    "scratch (check --global_conf: it changes the exp dir)",
+                    os.path.join(self.base_exp_dir, "checkpoints"))
 
         if mode.startswith("train"):
             self.file_backup()
