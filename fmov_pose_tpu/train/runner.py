@@ -855,6 +855,11 @@ class Runner:
                 learned.append(pose_all[frame_idx])
         if not gt_list:
             return float("inf"), float("inf"), float("inf"), None, pose_all
+        if len(gt_list) < 2:
+            LOG.warning("only %d annotated frame(s) below current_image=%d — "
+                        "ATE needs >=2 pose pairs (Umeyama is degenerate)",
+                        len(gt_list), self.current_image)
+            return float("inf"), float("inf"), float("inf"), None, pose_all
         gt = np.stack(gt_list)
         est = np.stack(learned)
         try:
@@ -930,6 +935,10 @@ class Runner:
         path = os.path.join(self.base_exp_dir, "meshes", name)
         meshio.write_ply(path, vertices, triangles, vertex_colors=colors)
         LOG.info("mesh saved: %s (%d verts)", path, len(vertices))
+        if len(vertices) == 0:
+            LOG.warning("extracted mesh is EMPTY: the SDF has no zero "
+                        "crossing inside the bound yet (undertrained or "
+                        "diverged field)")
         return path
 
     def render_novel_image(self, idx_0, idx_1, ratio, resolution_level):
