@@ -587,84 +587,20 @@ class Runner:
         if k_scan:
             LOG.info("scan training: %d steps per dispatch", k_scan)
             return self._train_scan(k_scan)
+        if (self._seg_scan_eligible()
+                and self.end_iter - self.iter_step > 0):
+            LOG.info("seg scan training: host-planned chunks, one dispatch "
+                     "per chunk")
+            return self._train_seg_scan()
         res_step = self.end_iter - self.iter_step
-        if self.maintain_shape:
-            image_perm = self.get_current_image_perm()
-            prev_image_perm = self.get_prev_image_perm()
-        else:
-            image_perm = self.get_image_perm()
-            prev_image_perm = None
+        self._init_perms()
 
         t_start = time.time()
         rays_done = 0
         for iter_i in range(res_step):
-            in_warmup = self.iter_step < self.mesh_warmup_step
-            use_flow = (self.flow_weight > 0.0 and self.rng.random() < 0.5
-                        and not in_warmup)
-            img_id = int(image_perm[self.iter_step % len(image_perm)])
-            if self.remove_prev_matches:
-                if (abs(img_id - self.current_image) >= self.flow_interval
-                        or self.current_image == self.dataset.n_images):
-                    use_flow = False
-
-            flow_data = None
-            img_id_corr = None
-            if use_flow:
-                flow_data = self._sample_flow_pair(img_id)
-                if flow_data is None:
-                    use_flow = False
-                else:
-                    img_id_corr = img_id
-                    img_id = flow_data[0]
-
-            pose_update = 1.0
-            if in_warmup and self.pose_mode != "gf":
-                pose_update = 0.0
-                if self.reset_based_on_rot and self.prev_pose is not None:
-                    img_id = int(self.rng.integers(0, self.current_image))
-                else:
-                    img_id = 0
-            elif self.mesh_warmup_step > 0 and not in_warmup:
-                self.mesh_warmup_step = 0  # warm-up over, re-enable pose nets
-
-            add_img_id = 0
-            if self.maintain_shape:
-                add_img_id = int(prev_image_perm[
-                    self.iter_step % len(prev_image_perm)])
-                if in_warmup and self.pose_mode != "gf":
-                    add_img_id = 0
-
-            touched = self._touched_segments(
-                [img_id, img_id_corr, add_img_id if self.maintain_shape else None])
-            main_update = 1.0
-            if (self.detach_mesh_at_warm_up
-                    and self.iter_step > self.mesh_warmup_step
-                    and self.pro_iteration < self.pro_warm_up_end
-                    and self.current_pose_mlp_index in touched):
-                main_update = 0.0
-
-            seg_touch = np.zeros((self.n_segments,), np.float32)
-            for s in touched:
-                if s < self.n_segments:
-                    seg_touch[s] = 1.0
-            seg_lr = self.seg_lrs([s for s in touched if s < self.n_segments])
-
-            trans_head_on = 1.0
-            if (self.disable_trans_during_warm_up
-                    and self.pro_iteration < self.pro_warm_up_end):
-                trans_head_on = 0.0
-
-            packed = step_mod.pack_scalars_np(
-                self.main_lr(), self.get_cos_anneal_ratio(), main_update,
-                pose_update,
-                1.0 if (self.mask_guided_sampling and not in_warmup) else 0.0,
-                trans_head_on, img_id, add_img_id,
-                img_id_corr if img_id_corr is not None else 0,
-                seg_touch, self.seg_frozen, seg_lr)
+            packed, use_flow, pixels_pair, img_id = self._plan_step()
 
             if use_flow:
-                _, pixels, pixels_corr = flow_data
-                pixels_pair = np.concatenate([pixels_corr, pixels], axis=-1)
                 self.state, metrics = self.flow_step(
                     self.state, packed, pixels_pair)
             else:
@@ -712,12 +648,7 @@ class Runner:
                 except Exception as e:
                     LOG.warning("validate_mesh failed: %s", e)
 
-            if self.iter_step % len(image_perm) == 0:
-                image_perm = (self.get_current_image_perm()
-                              if self.maintain_shape else self.get_image_perm())
-            if (self.maintain_shape
-                    and self.iter_step % len(prev_image_perm) == 0):
-                prev_image_perm = self.get_prev_image_perm()
+            self._maybe_regen_perms()
 
             if self.iter_step % self.save_freq == 0 and self.iter_step > 0:
                 self.save_checkpoint()
@@ -731,14 +662,264 @@ class Runner:
 
         self.save_checkpoint()
 
+    def _init_perms(self):
+        if self.maintain_shape:
+            self._image_perm = self.get_current_image_perm()
+            self._prev_image_perm = self.get_prev_image_perm()
+        else:
+            self._image_perm = self.get_image_perm()
+            self._prev_image_perm = None
+
+    def _maybe_regen_perms(self):
+        if self.iter_step % len(self._image_perm) == 0:
+            self._image_perm = (self.get_current_image_perm()
+                                if self.maintain_shape
+                                else self.get_image_perm())
+        if (self.maintain_shape
+                and self.iter_step % len(self._prev_image_perm) == 0):
+            self._prev_image_perm = self.get_prev_image_perm()
+
+    def _plan_step(self):
+        """Plan one training step: every host-side curriculum decision
+        (frame draw, flow coin + LoFTR pair sampling, warm-up gates,
+        per-segment touch/freeze/LR) packed into one scalar row.
+
+        Shared verbatim by the per-step loop and the seg-mode scan
+        planner, so the two dispatch strategies cannot drift.  Consumes
+        host RNG; mutates only the one-shot ``mesh_warmup_step`` reset.
+        Returns (packed, use_flow, pixels_pair, img_id).
+        """
+        in_warmup = self.iter_step < self.mesh_warmup_step
+        use_flow = (self.flow_weight > 0.0 and self.rng.random() < 0.5
+                    and not in_warmup)
+        img_id = int(self._image_perm[self.iter_step % len(self._image_perm)])
+        if self.remove_prev_matches:
+            if (abs(img_id - self.current_image) >= self.flow_interval
+                    or self.current_image == self.dataset.n_images):
+                use_flow = False
+
+        flow_data = None
+        img_id_corr = None
+        if use_flow:
+            flow_data = self._sample_flow_pair(img_id)
+            if flow_data is None:
+                use_flow = False
+            else:
+                img_id_corr = img_id
+                img_id = flow_data[0]
+
+        pose_update = 1.0
+        if in_warmup and self.pose_mode != "gf":
+            pose_update = 0.0
+            if self.reset_based_on_rot and self.prev_pose is not None:
+                img_id = int(self.rng.integers(0, self.current_image))
+            else:
+                img_id = 0
+        elif self.mesh_warmup_step > 0 and not in_warmup:
+            self.mesh_warmup_step = 0  # warm-up over, re-enable pose nets
+
+        add_img_id = 0
+        if self.maintain_shape:
+            add_img_id = int(self._prev_image_perm[
+                self.iter_step % len(self._prev_image_perm)])
+            if in_warmup and self.pose_mode != "gf":
+                add_img_id = 0
+
+        touched = self._touched_segments(
+            [img_id, img_id_corr,
+             add_img_id if self.maintain_shape else None])
+        main_update = 1.0
+        if (self.detach_mesh_at_warm_up
+                and self.iter_step > self.mesh_warmup_step
+                and self.pro_iteration < self.pro_warm_up_end
+                and self.current_pose_mlp_index in touched):
+            main_update = 0.0
+
+        seg_touch = np.zeros((self.n_segments,), np.float32)
+        for s in touched:
+            if s < self.n_segments:
+                seg_touch[s] = 1.0
+        seg_lr = self.seg_lrs([s for s in touched if s < self.n_segments])
+
+        trans_head_on = 1.0
+        if (self.disable_trans_during_warm_up
+                and self.pro_iteration < self.pro_warm_up_end):
+            trans_head_on = 0.0
+
+        packed = step_mod.pack_scalars_np(
+            self.main_lr(), self.get_cos_anneal_ratio(), main_update,
+            pose_update,
+            1.0 if (self.mask_guided_sampling and not in_warmup) else 0.0,
+            trans_head_on, img_id, add_img_id,
+            img_id_corr if img_id_corr is not None else 0,
+            seg_touch, self.seg_frozen, seg_lr)
+
+        pixels_pair = None
+        if use_flow:
+            _, pixels, pixels_corr = flow_data
+            pixels_pair = np.concatenate([pixels_corr, pixels], axis=-1)
+        return packed, use_flow, pixels_pair, img_id
+
+    # ------------------------------------------------------------------
+    # seg-mode scan training (progressive phase with chunked dispatch)
+    # ------------------------------------------------------------------
+    def _seg_scan_eligible(self):
+        """The progressive phase can also scan: the planner precomputes a
+        chunk of per-step scalar rows + flow pixel tables host-side and
+        replays them in one lax.scan dispatch (step.make_scan_seg_steps).
+        Host events (admission, warm-up unfreeze, rotation reset, occ
+        updates, report/val/save) land on chunk boundaries.
+
+        Opt-in (train.seg_scan_steps): at the reference phase-1 shapes
+        (batch 512, 64+64 samples, maintain_shape) the step is compute-
+        bound (~70 ms), so removing the per-step dispatch measured ~0 on
+        a tunneled v5e (14.2 vs 14.6 it/s) while costing ~3x compile.
+        It pays off at small batches or higher-latency dispatch paths."""
+        if not self.conf.get_bool("train.seg_scan_steps", False):
+            return False
+        if not self.conf.get_bool("train.scan_steps", True):
+            return False
+        if self.pose_mode not in ("seg", "seg_pixel"):
+            return False
+        if self.use_dp or self.gradient_analysis:
+            return False
+        return True
+
+    def _freq_gap(self):
+        """Steps until the next iter_step-frequency event (>= 1)."""
+        t = self.iter_step
+        freqs = [self.report_freq, self.val_freq, self.pose_freq,
+                 self.val_mesh_freq, self.save_freq]
+        if self.occupancy_sampling:
+            freqs.append(self.occ_update_freq)
+        gaps = [f - (t % f) for f in freqs if f > 0]
+        gaps.append(self.end_iter - t)
+        return max(1, min(gaps))
+
+    def _get_seg_scan_fn(self, k, with_flow):
+        key = (k, with_flow)
+        fn = self._seg_scan_fns.get(key)
+        if fn is None:
+            fn = step_mod.make_scan_seg_steps(
+                self.step_cfg, self.images_dev, self.masks_dev,
+                self.intr_inv_dev, self.bbox_dev, k,
+                depths=self.depths_dev, with_flow=with_flow)
+            self._seg_scan_fns[key] = fn
+        return fn
+
+    def _train_seg_scan(self):
+        self._init_perms()
+        if not hasattr(self, "_seg_scan_fns"):
+            self._seg_scan_fns = {}  # persists across train() calls: the
+            # jit cache is keyed by closure identity, so rebuilding would
+            # recompile every chunk size
+        with_flow = self.flow_weight > 0.0
+        max_chunk = self.conf.get_int("train.scan_chunk", 100)
+        min_chunk = 4  # below this, per-step dispatch beats a fresh compile
+        b2 = self.batch_size // 2
+        t_start = time.time()
+        rays_done = 0
+        metrics = {}
+
+        while self.iter_step < self.end_iter:
+            # ---- plan a chunk: identical host logic to the per-step loop,
+            # stopping at the first progressive event or frequency boundary
+            k_max = min(self._freq_gap(), max_chunk)
+            rows, pixes, flags = [], [], []
+            ticked = False
+            for _ in range(k_max):
+                packed, use_flow, pixels_pair, _img = self._plan_step()
+                rows.append(packed)
+                flags.append(1.0 if use_flow else 0.0)
+                pixes.append(pixels_pair if use_flow
+                             else np.zeros((b2, 4), np.float32))
+                self.iter_step += 1
+                ticked = self._pro_tick()
+                if ticked:
+                    break
+                self._maybe_regen_perms()
+            k = len(rows)
+
+            # ---- dispatch
+            if k < min_chunk:
+                for j in range(k):
+                    if flags[j] > 0:
+                        self.state, metrics = self.flow_step(
+                            self.state, rows[j], pixes[j])
+                    else:
+                        self.state, metrics = self.photo_step(
+                            self.state, rows[j])
+            else:
+                scan_fn = self._get_seg_scan_fn(k, with_flow)
+                self.state, metrics = scan_fn(
+                    self.state, np.stack(rows),
+                    np.stack(pixes), np.asarray(flags, np.float32))
+            rays_done += k * self.batch_size * (2 if self.maintain_shape
+                                                else 1)
+
+            # ---- chunk-boundary events, in the per-step loop's order
+            if (self.occupancy_sampling
+                    and self.iter_step % self.occ_update_freq == 0):
+                self.update_occ_grid()
+            if self.iter_step % self.report_freq == 0:
+                m = {kk: float(v) for kk, v in metrics.items()}
+                dt = time.time() - t_start
+                LOG.info("iter %d loss=%.4f psnr=%.2f rays/s=%.0f (chunk %d)"
+                         " dir=%s", self.iter_step, m["loss"], m["psnr"],
+                         rays_done / max(dt, 1e-9), k, self.base_exp_dir)
+                if self.writer:
+                    for kk, v in m.items():
+                        self.writer.add_scalar(f"Loss/{kk}", v,
+                                               self.iter_step)
+            if self.iter_step % self.val_freq == 0:
+                try:
+                    self.validate_image()
+                except Exception as e:
+                    LOG.warning("validate_image failed: %s", e)
+            if self.iter_step % self.pose_freq == 0:
+                try:
+                    self.validate_poses()
+                except Exception as e:
+                    LOG.warning("validate_poses failed: %s", e)
+            if ticked:
+                self._pro_events()
+                self._maybe_regen_perms()
+            if self.iter_step % self.val_mesh_freq == 0:
+                try:
+                    self.validate_mesh()
+                except Exception as e:
+                    LOG.warning("validate_mesh failed: %s", e)
+            if self.iter_step % self.save_freq == 0 and self.iter_step > 0:
+                self.save_checkpoint()
+            if "_wo_global_conf" not in self.base_exp_dir:
+                if (self.pro_iteration == -1
+                        and self.current_image == self.dataset.n_images):
+                    self.validate_mesh()
+                    self.save_checkpoint()
+                    return
+        self.save_checkpoint()
+
     def _progressive_update(self):
         """Frame admission / segment switch / warm-up / rotation reset
         (`exp_runner.py:860-947`)."""
+        if self._pro_tick():
+            self._pro_events()
+
+    def _pro_tick(self):
+        """Advance the progressive counter by one step; True when an event
+        (admission or warm-up end) fires at the new count.  Pure host
+        bookkeeping — the scan planner uses it to place chunk boundaries
+        and defers :meth:`_pro_events` (which touches device state) to
+        after the chunk's dispatch."""
         if not (self.pose_mode in ("seg", "seg_pixel")
                 and self.pro_iteration >= 0
                 and self.iter_step > self.mesh_warmup_step):
-            return
+            return False
         self.pro_iteration += 1
+        return (self.pro_iteration == self.max_pro_iteration
+                or self.pro_iteration == self.pro_warm_up_end)
+
+    def _pro_events(self):
         if self.pro_iteration == self.max_pro_iteration:
             self.pro_iteration = 0
             prev_image = self.current_image

@@ -1,0 +1,93 @@
+"""Measure phase-1 (progressive seg) throughput: per-step vs scan dispatch.
+
+Runs the full Runner on a synthetic sequence with reference-scale nets
+and batch, timing the training loop wall-clock. One TPU process at a
+time (single shared chip).
+"""
+import os
+import sys
+import time
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fmov_pose_tpu.data.synthetic import make_orbit_sequence
+from fmov_pose_tpu.train.runner import Runner
+
+CONF = """
+general {{ base_exp_dir = {exp_dir}
+          recording = [ ./ ] }}
+dataset {{ data_dir = {data_dir}/
+          render_cameras_name = cameras_sphere.npz
+          object_cameras_name = cameras_sphere.npz
+          loftr_interval_flow_dir = {flow_dir}
+          crop = True, partial_ann = True, mask_init = True }}
+train {{
+    learning_rate = 5e-4
+    learning_rate_alpha = 0.05
+    end_iter = {end_iter}
+    batch_size = 512
+    validate_resolution_level = 4
+    warm_up_end = 50
+    anneal_end = 0
+    use_white_bkgd = False
+    save_freq = 1000000, val_freq = 1000000, val_mesh_freq = 1000000
+    report_freq = 100, pose_freq = 1000000
+    igr_weight = 0.1, mask_weight = 5, flow_weight = 0.1
+    progressive = True, flow_interval = 10
+    pose_lr = 5e-4, pose_alpha = 0.5
+    max_pro_iteration = 100
+    pro_warm_up_end = 50
+    image_interval = 1, current_image = 1
+    mesh_warmup_step = 100
+    emphasize_rot = True
+    mask_guided_sampling = True, mask_guided_patch_size = 10
+    reset_based_on_rot = False
+    maintain_shape = True
+    scan_steps = {scan}
+    use_fused_train_kernels = {fused}
+}}
+model {{
+    pose_type = seg
+    barf = True
+    nerf {{ D = 8, d_in = 4, d_in_view = 3, W = 256, multires = 10,
+           multires_view = 4, output_ch = 4, skips=[4], use_viewdirs=True }}
+    sdf_network {{ d_out = 257, d_in = 3, d_hidden = 256, n_layers = 8,
+                  skip_in = [4], multires = 6, bias = 0.5, scale = 1.0,
+                  geometric_init = True, weight_norm = True }}
+    variance_network {{ init_val = 0.3 }}
+    rendering_network {{ d_feature = 256, mode = idr, d_in = 9, d_out = 3,
+                        d_hidden = 256, n_layers = 4, weight_norm = True,
+                        multires_view = 4, squeeze_out = True }}
+    neus_renderer {{ n_samples = 64, n_importance = 64, n_outside = 0,
+                    up_sample_steps = 4, perturb = 1.0 }}
+}}
+"""
+
+
+def run(scan, fused, warm_iter=300, steady_iter=400):
+    tmp = tempfile.mkdtemp()
+    data_dir = os.path.join(tmp, "SYN_ori")
+    make_orbit_sequence(data_dir, n_frames=8, H=128, W=128, span_deg=70)
+    conf_path = os.path.join(tmp, "probe.conf")
+    with open(conf_path, "w") as f:
+        f.write(CONF.format(exp_dir=os.path.join(tmp, "exp"),
+                            data_dir=data_dir,
+                            flow_dir=os.path.join(tmp, "matches"),
+                            end_iter=warm_iter, scan=scan, fused=fused))
+    r = Runner(conf_path, mode="train", case="SYN_ori", has_global_conf=True)
+    r.train()  # compiles everything (all chunk sizes recur within 300 iters)
+    r.end_iter = warm_iter + steady_iter
+    t0 = time.time()
+    r.train()  # warm: compiled fns are cached on the Runner
+    dt = time.time() - t0
+    return steady_iter, dt
+
+
+if __name__ == "__main__":
+    scan = sys.argv[1] if len(sys.argv) > 1 else "True"
+    fused = sys.argv[2] if len(sys.argv) > 2 else "True"
+    iters, dt = run(scan, fused)
+    rays = iters * 512 * 2  # maintain_shape doubles the ray count
+    print(f"RESULT scan={scan} fused={fused}: {iters} steady iters in "
+          f"{dt:.1f}s = {iters / dt:.1f} it/s, {rays / dt:.0f} rays/s")
