@@ -252,6 +252,15 @@ class Dataset:
             noise_dict = np.load(noise_path)
         crop_poses = []
         use_noise_intrinsic = len(self._gt_list) == 0
+        n_noise = sum(1 for k in noise_dict.files
+                      if k.startswith("world_mat_"))
+        if n_noise < self.n_images:
+            raise ValueError(
+                f"noise init {noise_path} covers {n_noise} frames but the "
+                f"image dir has {self.n_images}: phase-1 progressive "
+                f"learning did not admit/align every frame (its pose export "
+                f"backs off 10 frames when incomplete). Re-run phase 1 with "
+                f"a larger end_iter, or lower reset_rot_threshold churn.")
         for i in range(self.n_images):
             scale_mat = noise_dict[f"scale_mat_{i}"]
             self.crop_scale = float(scale_mat[0, 0])

@@ -1017,8 +1017,9 @@ class Runner:
             return stacked
         tag = f"{self.current_image:08d}_{self.iter_step:08d}_0_{idx}.png"
         cv.imwrite(os.path.join(self.base_exp_dir, "validations_fine", tag),
-                   stacked)
-        cv.imwrite(os.path.join(self.base_exp_dir, "normals", tag), normal_img)
+                   stacked.astype(np.uint8))
+        cv.imwrite(os.path.join(self.base_exp_dir, "normals", tag),
+                   normal_img.astype(np.uint8))
         psnr = float(10 * np.log10(
             255.0**2 / max(((img_fine - gt) ** 2).mean(), 1e-9)))
         return psnr
