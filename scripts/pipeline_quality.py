@@ -46,6 +46,7 @@ def main():
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--max_pro", type=int, default=250)
     ap.add_argument("--mesh_warmup", type=int, default=500)
+    ap.add_argument("--occupancy", action="store_true")
     args = ap.parse_args()
 
     import numpy as np
@@ -90,6 +91,9 @@ def main():
             # reset (which faithfully rewinds iter_step and re-runs the
             # mesh warm-up), blowing the iteration budget on a toy scene
             r"reset_rot_threshold = \d+": "reset_rot_threshold = 999",
+            r"maintain_shape = True":
+                "maintain_shape = True\n    occupancy_sampling = "
+                + ("True" if args.occupancy else "False"),
         }))
     shrink_conf(
         os.path.join(REPO, "confs/ho3d_global_womask.conf"),
@@ -173,6 +177,7 @@ def main():
 
     print(json.dumps({
         "frames": args.frames, "res": args.res, "span_deg": args.span,
+        "p1_occupancy": args.occupancy,
         "p1_iters": args.p1_iters, "p2_iters": args.p2_iters,
         "pipeline_time_s": round(train_time, 1),
         "p1_ate": None if ate1 is None else round(float(ate1[0]), 5),

@@ -46,6 +46,7 @@ train {{
     maintain_shape = True
     scan_steps = {scan}
     use_fused_train_kernels = {fused}
+    occupancy_sampling = {occ}
 }}
 model {{
     pose_type = seg
@@ -65,7 +66,7 @@ model {{
 """
 
 
-def run(scan, fused, warm_iter=300, steady_iter=400):
+def run(scan, fused, warm_iter=300, steady_iter=400, occ="False"):
     tmp = tempfile.mkdtemp()
     data_dir = os.path.join(tmp, "SYN_ori")
     make_orbit_sequence(data_dir, n_frames=8, H=128, W=128, span_deg=70)
@@ -74,7 +75,7 @@ def run(scan, fused, warm_iter=300, steady_iter=400):
         f.write(CONF.format(exp_dir=os.path.join(tmp, "exp"),
                             data_dir=data_dir,
                             flow_dir=os.path.join(tmp, "matches"),
-                            end_iter=warm_iter, scan=scan, fused=fused))
+                            end_iter=warm_iter, scan=scan, fused=fused, occ=occ))
     r = Runner(conf_path, mode="train", case="SYN_ori", has_global_conf=True)
     r.train()  # compiles everything (all chunk sizes recur within 300 iters)
     r.end_iter = warm_iter + steady_iter
@@ -87,7 +88,8 @@ def run(scan, fused, warm_iter=300, steady_iter=400):
 if __name__ == "__main__":
     scan = sys.argv[1] if len(sys.argv) > 1 else "True"
     fused = sys.argv[2] if len(sys.argv) > 2 else "True"
-    iters, dt = run(scan, fused)
+    occ = sys.argv[3] if len(sys.argv) > 3 else "False"
+    iters, dt = run(scan, fused, occ=occ)
     rays = iters * 512 * 2  # maintain_shape doubles the ray count
-    print(f"RESULT scan={scan} fused={fused}: {iters} steady iters in "
-          f"{dt:.1f}s = {iters / dt:.1f} it/s, {rays / dt:.0f} rays/s")
+    print(f"RESULT scan={scan} fused={fused} occ={occ}: {iters} steady "
+          f"iters in {dt:.1f}s = {iters / dt:.1f} it/s, {rays / dt:.0f} rays/s")

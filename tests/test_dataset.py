@@ -94,3 +94,19 @@ def test_synthetic_matches_are_consistent(seq_dir):
                        loftr_interval_flow_dir=flow_dir))
     xs1, ys1, xs2, ys2 = ds.loftr_flows["0000_0001"]
     assert np.hypot(xs1 - xs2, ys1 - ys2).mean() < 30  # small motion
+
+
+def test_incomplete_noise_init_raises(seq_dir, tmp_path):
+    """Phase-2 crop init must fail loudly when the noise npz covers fewer
+    frames than the image dir (incomplete phase-1 alignment export)."""
+    import os
+    import shutil
+
+    dst = tmp_path / "SYN_partial"
+    shutil.copytree(seq_dir, dst)
+    np.savez(dst / "noise_cameras_sphere.npz",
+             world_mat_0=np.eye(4, dtype=np.float32),
+             scale_mat_0=np.eye(4, dtype=np.float32))
+    conf = _conf(str(dst), use_crop_init="True")
+    with pytest.raises(ValueError, match="covers 1 frames"):
+        Dataset(conf, exp_dir=str(dst))
