@@ -39,6 +39,44 @@ from fmov_pose_tpu.train import optim, step as step_mod
 LOG = logging.getLogger(__name__)
 
 
+class _StepProfiler:
+    """Honor ``FMOV_PROFILE_DIR`` inside training: capture a jax.profiler
+    trace over a window of steps (skip ``FMOV_PROFILE_START`` steps of
+    warm-up/compile, trace the next ``FMOV_PROFILE_STEPS``).  Used by all
+    three dispatch strategies (per-step, scan, seg-scan); scan paths tick
+    in chunk-sized increments.  SURVEY §5 tracing row."""
+
+    def __init__(self):
+        self.dir = os.environ.get("FMOV_PROFILE_DIR")
+        self.start_at = int(os.environ.get("FMOV_PROFILE_START", "20"))
+        self.n_steps = int(os.environ.get("FMOV_PROFILE_STEPS", "20"))
+        self._seen = 0
+        self._active = False
+        self._done = self.dir is None
+
+    def tick(self, n=1):
+        if self._done:
+            return
+        if not self._active and self._seen >= self.start_at:
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+            LOG.info("profiler: trace started -> %s (next %d steps)",
+                     self.dir, self.n_steps)
+        self._seen += n
+        if self._active and self._seen >= self.start_at + self.n_steps:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+            LOG.info("profiler: trace stopped after %d steps", self._seen)
+
+    def close(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+            LOG.info("profiler: trace stopped (train end)")
+
+
 def rotation_error_deg(rel_R: np.ndarray) -> float:
     d = 0.5 * (rel_R[0, 0] + rel_R[1, 1] + rel_R[2, 2] - 1.0)
     return float(np.arccos(max(min(d, 1.0), -1.0)) * 180.0 / np.pi)
@@ -549,6 +587,8 @@ class Runner:
             self.state, metrics = scan(self.state, n_cur)
             self.iter_step += k
             rays_done += k * self.batch_size
+            if self._prof is not None:
+                self._prof.tick(k)
             if self.iter_step % self.report_freq == 0:
                 m = {kk: float(v) for kk, v in metrics.items()}
                 dt = time.time() - t_start
@@ -580,18 +620,22 @@ class Runner:
                 self.save_checkpoint()
         self.save_checkpoint()
 
+    _prof = None  # set per train() call; honors FMOV_PROFILE_DIR
+
     def train(self):
         from tensorboardX import SummaryWriter
         self.writer = SummaryWriter(os.path.join(self.base_exp_dir, "logs"))
+        self._prof = _StepProfiler()
+        try:
+            return self._train_dispatch()
+        finally:
+            self._prof.close()
+
+    def _train_dispatch(self):
         k_scan = self._scan_eligible()
         if k_scan:
             LOG.info("scan training: %d steps per dispatch", k_scan)
             return self._train_scan(k_scan)
-        if (self._seg_scan_eligible()
-                and self.end_iter - self.iter_step > 0):
-            LOG.info("seg scan training: host-planned chunks, one dispatch "
-                     "per chunk")
-            return self._train_seg_scan()
         res_step = self.end_iter - self.iter_step
         self._init_perms()
 
@@ -608,6 +652,8 @@ class Runner:
 
             self.iter_step += 1
             rays_done += self.batch_size * (2 if self.maintain_shape else 1)
+            if self._prof is not None:
+                self._prof.tick()
 
             if (self.occupancy_sampling
                     and self.iter_step % self.occ_update_freq == 0):
@@ -759,145 +805,6 @@ class Runner:
             _, pixels, pixels_corr = flow_data
             pixels_pair = np.concatenate([pixels_corr, pixels], axis=-1)
         return packed, use_flow, pixels_pair, img_id
-
-    # ------------------------------------------------------------------
-    # seg-mode scan training (progressive phase with chunked dispatch)
-    # ------------------------------------------------------------------
-    def _seg_scan_eligible(self):
-        """The progressive phase can also scan: the planner precomputes a
-        chunk of per-step scalar rows + flow pixel tables host-side and
-        replays them in one lax.scan dispatch (step.make_scan_seg_steps).
-        Host events (admission, warm-up unfreeze, rotation reset, occ
-        updates, report/val/save) land on chunk boundaries.
-
-        Opt-in (train.seg_scan_steps): at the reference phase-1 shapes
-        (batch 512, 64+64 samples, maintain_shape) the step is compute-
-        bound (~70 ms), so removing the per-step dispatch measured ~0 on
-        a tunneled v5e (14.2 vs 14.6 it/s) while costing ~3x compile.
-        It pays off at small batches or higher-latency dispatch paths."""
-        if not self.conf.get_bool("train.seg_scan_steps", False):
-            return False
-        if not self.conf.get_bool("train.scan_steps", True):
-            return False
-        if self.pose_mode not in ("seg", "seg_pixel"):
-            return False
-        if self.use_dp or self.gradient_analysis:
-            return False
-        return True
-
-    def _freq_gap(self):
-        """Steps until the next iter_step-frequency event (>= 1)."""
-        t = self.iter_step
-        freqs = [self.report_freq, self.val_freq, self.pose_freq,
-                 self.val_mesh_freq, self.save_freq]
-        if self.occupancy_sampling:
-            freqs.append(self.occ_update_freq)
-        gaps = [f - (t % f) for f in freqs if f > 0]
-        gaps.append(self.end_iter - t)
-        return max(1, min(gaps))
-
-    def _get_seg_scan_fn(self, k, with_flow):
-        key = (k, with_flow)
-        fn = self._seg_scan_fns.get(key)
-        if fn is None:
-            fn = step_mod.make_scan_seg_steps(
-                self.step_cfg, self.images_dev, self.masks_dev,
-                self.intr_inv_dev, self.bbox_dev, k,
-                depths=self.depths_dev, with_flow=with_flow)
-            self._seg_scan_fns[key] = fn
-        return fn
-
-    def _train_seg_scan(self):
-        self._init_perms()
-        if not hasattr(self, "_seg_scan_fns"):
-            self._seg_scan_fns = {}  # persists across train() calls: the
-            # jit cache is keyed by closure identity, so rebuilding would
-            # recompile every chunk size
-        with_flow = self.flow_weight > 0.0
-        max_chunk = self.conf.get_int("train.scan_chunk", 100)
-        min_chunk = 4  # below this, per-step dispatch beats a fresh compile
-        b2 = self.batch_size // 2
-        t_start = time.time()
-        rays_done = 0
-        metrics = {}
-
-        while self.iter_step < self.end_iter:
-            # ---- plan a chunk: identical host logic to the per-step loop,
-            # stopping at the first progressive event or frequency boundary
-            k_max = min(self._freq_gap(), max_chunk)
-            rows, pixes, flags = [], [], []
-            ticked = False
-            for _ in range(k_max):
-                packed, use_flow, pixels_pair, _img = self._plan_step()
-                rows.append(packed)
-                flags.append(1.0 if use_flow else 0.0)
-                pixes.append(pixels_pair if use_flow
-                             else np.zeros((b2, 4), np.float32))
-                self.iter_step += 1
-                ticked = self._pro_tick()
-                if ticked:
-                    break
-                self._maybe_regen_perms()
-            k = len(rows)
-
-            # ---- dispatch
-            if k < min_chunk:
-                for j in range(k):
-                    if flags[j] > 0:
-                        self.state, metrics = self.flow_step(
-                            self.state, rows[j], pixes[j])
-                    else:
-                        self.state, metrics = self.photo_step(
-                            self.state, rows[j])
-            else:
-                scan_fn = self._get_seg_scan_fn(k, with_flow)
-                self.state, metrics = scan_fn(
-                    self.state, np.stack(rows),
-                    np.stack(pixes), np.asarray(flags, np.float32))
-            rays_done += k * self.batch_size * (2 if self.maintain_shape
-                                                else 1)
-
-            # ---- chunk-boundary events, in the per-step loop's order
-            if (self.occupancy_sampling
-                    and self.iter_step % self.occ_update_freq == 0):
-                self.update_occ_grid()
-            if self.iter_step % self.report_freq == 0:
-                m = {kk: float(v) for kk, v in metrics.items()}
-                dt = time.time() - t_start
-                LOG.info("iter %d loss=%.4f psnr=%.2f rays/s=%.0f (chunk %d)"
-                         " dir=%s", self.iter_step, m["loss"], m["psnr"],
-                         rays_done / max(dt, 1e-9), k, self.base_exp_dir)
-                if self.writer:
-                    for kk, v in m.items():
-                        self.writer.add_scalar(f"Loss/{kk}", v,
-                                               self.iter_step)
-            if self.iter_step % self.val_freq == 0:
-                try:
-                    self.validate_image()
-                except Exception as e:
-                    LOG.warning("validate_image failed: %s", e)
-            if self.iter_step % self.pose_freq == 0:
-                try:
-                    self.validate_poses()
-                except Exception as e:
-                    LOG.warning("validate_poses failed: %s", e)
-            if ticked:
-                self._pro_events()
-                self._maybe_regen_perms()
-            if self.iter_step % self.val_mesh_freq == 0:
-                try:
-                    self.validate_mesh()
-                except Exception as e:
-                    LOG.warning("validate_mesh failed: %s", e)
-            if self.iter_step % self.save_freq == 0 and self.iter_step > 0:
-                self.save_checkpoint()
-            if "_wo_global_conf" not in self.base_exp_dir:
-                if (self.pro_iteration == -1
-                        and self.current_image == self.dataset.n_images):
-                    self.validate_mesh()
-                    self.save_checkpoint()
-                    return
-        self.save_checkpoint()
 
     def _progressive_update(self):
         """Frame admission / segment switch / warm-up / rotation reset

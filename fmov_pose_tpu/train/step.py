@@ -550,66 +550,6 @@ def make_flow_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
     return step
 
 
-def make_scan_seg_steps(cfg: StepConfig, images, masks, intr_inv_all,
-                        bbox_table, k_steps: int, depths=None,
-                        with_flow=False):
-    """Run k_steps progressive (seg-mode) steps inside ONE jitted lax.scan.
-
-    Unlike :func:`make_scan_photo_steps` (whose schedule is a pure function
-    of iter_step), the progressive curriculum's per-step decisions (frame
-    admission counters, per-segment freeze/LR, flow coin flips, LoFTR pair
-    sampling) live on the host.  The Runner *plans* a chunk of k steps —
-    one packed scalar row + one flow pixel table per step, computed by the
-    exact same host logic as the per-step path — and this scan replays
-    them device-side with zero per-step dispatches.  Host-side events
-    (admission, warm-up unfreeze, rotation reset, occ updates, reporting)
-    land on chunk boundaries by construction.
-
-    Inputs per call: packed_all [k, 9+3S] f32 rows (see pack_scalars_np),
-    pixels_all [k, B//2, 4] f32 match pixels (zeros on photo steps),
-    use_flow_all [k] f32 flags.  With ``with_flow=False`` the flow branch
-    is not traced at all (faster compile, no pixel table needed).
-    """
-    photo = make_photo_step(cfg, images, masks, intr_inv_all, bbox_table,
-                            depths=depths)
-    flow = (make_flow_step(cfg, images, masks, intr_inv_all, bbox_table)
-            if with_flow else None)
-
-    def _f32(tree):
-        return jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, jnp.float32), tree)
-
-    @partial(jax.jit, donate_argnums=(0,), static_argnums=())
-    def scan_steps(state: TrainState, packed_all, pixels_all, use_flow_all):
-        def body(st, inp):
-            packed, pixels_pair, uf = inp
-            scalars, img_id, add_img_id, img_id_corr = unpack_scalars(
-                packed, cfg.n_segments)
-            if with_flow:
-                def do_flow(s):
-                    s2, m = flow.run_one(s, scalars, img_id, img_id_corr,
-                                         add_img_id, pixels_pair)
-                    return s2, _f32(m)
-
-                def do_photo(s):
-                    s2, m = photo.run_one(s, scalars, img_id, add_img_id)
-                    return s2, _f32(m)
-
-                st, metrics = jax.lax.cond(uf > 0, do_flow, do_photo, st)
-            else:
-                st, metrics = photo.run_one(st, scalars, img_id, add_img_id)
-                metrics = _f32(metrics)
-            return st, metrics
-
-        state, metrics = jax.lax.scan(
-            body, state, (packed_all, pixels_all, use_flow_all),
-            length=k_steps)
-        last_metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
-        return state, last_metrics
-
-    return scan_steps
-
-
 def intr_inv_all_K(intr_inv_all, idx):
     """Recover K from the stored inverse intrinsics (cheap 3x3 inverse)."""
     return jnp.linalg.inv(intr_inv_all[idx][:3, :3])

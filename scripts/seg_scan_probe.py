@@ -1,8 +1,14 @@
-"""Measure phase-1 (progressive seg) throughput: per-step vs scan dispatch.
+"""Measure phase-1 (progressive seg) steady-state training throughput.
 
-Runs the full Runner on a synthetic sequence with reference-scale nets
-and batch, timing the training loop wall-clock. One TPU process at a
-time (single shared chip).
+Runs the full Runner on a synthetic sequence with reference-scale nets,
+timing the training loop wall-clock. One TPU process at a time (single
+shared chip). argv: scan fused occ [batch n_samples n_importance].
+
+History: this probe killed the seg-scan dispatch path (round 2) — at its
+claimed niche (batch 128, 32 samples, ~25 ms dispatch-dominated steps)
+per-step dispatch won 39.7 vs 34.2 it/s, so the chunked-scan machinery
+was deleted. The `scan` argument now only exercises train.scan_steps,
+which the progressive phase ignores.
 """
 import os
 import sys
@@ -26,7 +32,7 @@ train {{
     learning_rate = 5e-4
     learning_rate_alpha = 0.05
     end_iter = {end_iter}
-    batch_size = 512
+    batch_size = {batch}
     validate_resolution_level = 4
     warm_up_end = 50
     anneal_end = 0
@@ -60,13 +66,14 @@ model {{
     rendering_network {{ d_feature = 256, mode = idr, d_in = 9, d_out = 3,
                         d_hidden = 256, n_layers = 4, weight_norm = True,
                         multires_view = 4, squeeze_out = True }}
-    neus_renderer {{ n_samples = 64, n_importance = 64, n_outside = 0,
-                    up_sample_steps = 4, perturb = 1.0 }}
+    neus_renderer {{ n_samples = {n_samples}, n_importance = {n_importance},
+                    n_outside = 0, up_sample_steps = 4, perturb = 1.0 }}
 }}
 """
 
 
-def run(scan, fused, warm_iter=300, steady_iter=400, occ="False"):
+def run(scan, fused, warm_iter=300, steady_iter=400, occ="False",
+        batch=512, n_samples=64, n_importance=64):
     tmp = tempfile.mkdtemp()
     data_dir = os.path.join(tmp, "SYN_ori")
     make_orbit_sequence(data_dir, n_frames=8, H=128, W=128, span_deg=70)
@@ -75,7 +82,9 @@ def run(scan, fused, warm_iter=300, steady_iter=400, occ="False"):
         f.write(CONF.format(exp_dir=os.path.join(tmp, "exp"),
                             data_dir=data_dir,
                             flow_dir=os.path.join(tmp, "matches"),
-                            end_iter=warm_iter, scan=scan, fused=fused, occ=occ))
+                            end_iter=warm_iter, scan=scan, fused=fused,
+                            occ=occ, batch=batch, n_samples=n_samples,
+                            n_importance=n_importance))
     r = Runner(conf_path, mode="train", case="SYN_ori", has_global_conf=True)
     r.train()  # compiles everything (all chunk sizes recur within 300 iters)
     r.end_iter = warm_iter + steady_iter
@@ -89,7 +98,12 @@ if __name__ == "__main__":
     scan = sys.argv[1] if len(sys.argv) > 1 else "True"
     fused = sys.argv[2] if len(sys.argv) > 2 else "True"
     occ = sys.argv[3] if len(sys.argv) > 3 else "False"
-    iters, dt = run(scan, fused, occ=occ)
-    rays = iters * 512 * 2  # maintain_shape doubles the ray count
-    print(f"RESULT scan={scan} fused={fused} occ={occ}: {iters} steady "
+    batch = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+    n_samples = int(sys.argv[5]) if len(sys.argv) > 5 else 64
+    n_importance = int(sys.argv[6]) if len(sys.argv) > 6 else 64
+    iters, dt = run(scan, fused, occ=occ, batch=batch, n_samples=n_samples,
+                    n_importance=n_importance)
+    rays = iters * batch * 2  # maintain_shape doubles the ray count
+    print(f"RESULT scan={scan} fused={fused} occ={occ} batch={batch} "
+          f"samples={n_samples}+{n_importance}: {iters} steady "
           f"iters in {dt:.1f}s = {iters / dt:.1f} it/s, {rays / dt:.0f} rays/s")
