@@ -1,0 +1,244 @@
+"""Pallas-fused IDR color network (TPU kernel).
+
+Companion to ops/fused_sdf.py for the phase-2 hot path
+(`/root/reference/models/renderer.py:286`, fields.py:128-193): the color
+MLP is 4x256 over a 289-wide input ([pts(3), view_pe(27), normals(3),
+feature(256)]), so the XLA path round-trips four [N, 256] activation
+buffers to HBM per direction — at phase-2 scale (1M samples/step) that is
+~GBs of traffic per step. This kernel keeps weights (~1.2 MB) and the
+activation tile in VMEM; backward recomputes the forward in-kernel
+(activations never touch HBM) and accumulates weight/bias cotangents
+across the grid.
+
+Unlike the SDF kernel there is no second-order term: the color net is
+first-order in all of its inputs. Its input cotangent xcbar [N, 289]
+splits OUTSIDE the kernel into (pts, view_pe -> PE-vjp for dirs, normals
+-> feeds the SDF kernel's ct_grad, feature -> ct on sdf_out[:, 1:]), so
+the two fused kernels compose through plain XLA pointwise glue.
+
+custom_vjp: Pallas primal + Pallas backward, with the pure-JAX backward
+as a correctness oracle (FMOV_FUSED_COLOR_BWD=0).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = int(os.environ.get("FMOV_KERNEL_TILE", "512"))
+VMEM_LIMIT = 100 * 1024 * 1024
+# below this many samples the per-call overhead (weight streaming into
+# VMEM, launch, pad) beats the HBM savings — measured crossover on v5e:
+# batch 512 x 32 (16k samples) regressed 128k -> 84k rays/s fused, while
+# 262k-sample blocks run 1.77x faster fused
+MIN_SAMPLES = int(os.environ.get("FMOV_FUSED_COLOR_MIN", "65536"))
+
+
+def _materialize(params, n_lin):
+    """Weight-norm -> dense [in, out] f32 weights + [1, out] biases."""
+    ws, bs = [], []
+    for l in range(n_lin):
+        p = params["layers"][f"lin{l}"]
+        if "v" in p:
+            v = p["v"]
+            w = v * (p["g"] / (jnp.linalg.norm(v, axis=1) + 1e-12))[:, None]
+        else:
+            w = p["w"]
+        ws.append(w.T)
+        bs.append(p["b"][None, :])
+    return ws, bs
+
+
+def _dot(a, b):
+    return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def _dot_acc(a, b):
+    """a^T @ b with f32 accumulation (weight-cotangent accumulation)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def apply_from_concat(params, cfg, xc):
+    """Pure-JAX reference: nets.color_apply semantics on the prebuilt
+    [N, 289] concat (mode=idr, squeeze_out=True)."""
+    n_lin = cfg["n_layers"] + 1
+    ws, bs = _materialize(params, n_lin)
+    h = xc
+    for l in range(n_lin):
+        h = h @ ws[l] + bs[l]
+        if l < n_lin - 1:
+            h = jax.nn.relu(h)
+    return jax.nn.sigmoid(h)
+
+
+def _make_fwd_kernel(n_lin):
+    def kernel(*refs):
+        xc_ref = refs[0]
+        ws = [refs[1 + i][:] for i in range(n_lin)]
+        bs = [refs[1 + n_lin + i][:] for i in range(n_lin)]
+        out_ref = refs[1 + 2 * n_lin]
+        h = xc_ref[:]
+        for l in range(n_lin):
+            h = _dot(h, ws[l]) + bs[l]
+            if l < n_lin - 1:
+                h = jnp.maximum(h, 0.0)
+        out_ref[:] = jax.nn.sigmoid(h)
+    return kernel
+
+
+def _make_bwd_kernel(n_lin):
+    """Recompute-forward backward: given ct on the sigmoid output,
+    emit xcbar and accumulate weight/bias cotangents across the grid."""
+    def kernel(*refs):
+        xc_ref, ct_ref = refs[0], refs[1]
+        ws = [refs[2 + i][:] for i in range(n_lin)]
+        bs = [refs[2 + n_lin + i][:] for i in range(n_lin)]
+        wts = [refs[2 + 2 * n_lin + i][:] for i in range(n_lin)]
+        xcbar_ref = refs[2 + 3 * n_lin]
+        dws = [refs[3 + 3 * n_lin + i] for i in range(n_lin)]
+        dbs = [refs[3 + 4 * n_lin + i] for i in range(n_lin)]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for l in range(n_lin):
+                dws[l][:] = jnp.zeros_like(dws[l])
+                dbs[l][:] = jnp.zeros_like(dbs[l])
+
+        xc = xc_ref[:]
+        # forward, stashing post-relu activations
+        acts = [xc]
+        h = xc
+        for l in range(n_lin):
+            h = _dot(h, ws[l]) + bs[l]
+            if l < n_lin - 1:
+                h = jnp.maximum(h, 0.0)
+                acts.append(h)
+        out = jax.nn.sigmoid(h)
+
+        zbar = ct_ref[:] * out * (1.0 - out)
+        for l in range(n_lin - 1, -1, -1):
+            dws[l][:] += _dot_acc(acts[l], zbar)
+            dbs[l][:] += jnp.sum(zbar, axis=0, keepdims=True)
+            ibar = _dot(zbar, wts[l])
+            if l > 0:
+                zbar = ibar * (acts[l] > 0.0).astype(jnp.float32)
+        xcbar_ref[:] = ibar
+
+    return kernel
+
+
+def _pad_to_tile(x):
+    n = x.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], 0)
+    return x, n
+
+
+def _w_specs(arrs):
+    return [pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for a in arrs]
+
+
+@partial(jax.jit, static_argnames=("n_lin",))
+def _color_fwd_impl(ws, bs, xc, n_lin):
+    d_in = xc.shape[1]
+    d_out = ws[-1].shape[1]
+    xc, n = _pad_to_tile(xc)
+    grid = xc.shape[0] // TILE
+    out = pl.pallas_call(
+        _make_fwd_kernel(n_lin),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((TILE, d_in), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + _w_specs(ws) + _w_specs(bs),
+        out_specs=pl.BlockSpec((TILE, d_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((xc.shape[0], d_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+    )(xc, *ws, *bs)
+    return out[:n]
+
+
+@partial(jax.jit, static_argnames=("n_lin",))
+def _color_bwd_impl(ws, bs, xc, ct, n_lin):
+    d_in = xc.shape[1]
+    d_out = ws[-1].shape[1]
+    xc, n = _pad_to_tile(xc)
+    ct, _ = _pad_to_tile(ct)
+    grid = xc.shape[0] // TILE
+    wts = [w.T for w in ws]
+    out_shapes = ([jax.ShapeDtypeStruct((xc.shape[0], d_in), jnp.float32)]
+                  + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+                  + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
+    out_specs = ([pl.BlockSpec((TILE, d_in), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+                 + _w_specs(ws) + _w_specs(bs))
+    outs = pl.pallas_call(
+        _make_bwd_kernel(n_lin),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((TILE, d_in), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TILE, d_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + _w_specs(ws) + _w_specs(bs) + _w_specs(wts),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+    )(xc, ct, *ws, *bs, *wts)
+    xcbar = outs[0][:n]
+    dws = list(outs[1:1 + n_lin])
+    dbs = [b[0] for b in outs[1 + n_lin:]]
+    return xcbar, dws, dbs
+
+
+def _cfg_key(cfg):
+    return (("n_layers", cfg["n_layers"]),)
+
+
+def supported(cfg) -> bool:
+    return (cfg.get("mode", "idr") == "idr"
+            and cfg.get("squeeze_out", True)
+            and jax.default_backend() != "cpu")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _color_op(params, cfg_key, xc):
+    n_lin = dict(cfg_key)["n_layers"] + 1
+    ws, bs = _materialize(params, n_lin)
+    return _color_fwd_impl(ws, bs, xc, n_lin)
+
+
+def _color_fwd(params, cfg_key, xc):
+    return _color_op(params, cfg_key, xc), (params, xc)
+
+
+def _color_bwd(cfg_key, res, ct):
+    import os
+    params, xc = res
+    cfg = dict(cfg_key)
+    if os.environ.get("FMOV_FUSED_COLOR_BWD", "1") == "0":
+        _, vjp = jax.vjp(
+            lambda p, x: apply_from_concat(p, cfg, x), params, xc)
+        return vjp(ct)
+    n_lin = cfg["n_layers"] + 1
+    (ws, bs), mat_vjp = jax.vjp(lambda p: _materialize(p, n_lin), params)
+    xcbar, dws, dbs = _color_bwd_impl(ws, bs, xc, ct, n_lin)
+    (pbar,) = mat_vjp((dws, [db[None, :] for db in dbs]))
+    return pbar, xcbar
+
+
+_color_op.defvjp(_color_fwd, _color_bwd)
+
+
+def color_fused(params, cfg, xc):
+    """Fused IDR color net on the prebuilt concat input [N, 289]."""
+    return _color_op(params, _cfg_key(cfg), xc)

@@ -24,6 +24,7 @@ so differentiation through them is exactly the pure-JAX gradient):
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -34,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fmov_pose_tpu.core.embedder import positional_encode
 from fmov_pose_tpu.fields import nets
 
-TILE = 512
+TILE = int(os.environ.get("FMOV_KERNEL_TILE", "512"))
 VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MB VMEM/core
 
 

@@ -181,13 +181,30 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     if eval_mode:
         gradients = jax.lax.stop_gradient(gradients)
 
-    def _color_block(color_params, pts_in, grads_in, dirs_in, feat_in):
-        return nets.color_apply(color_params, model_cfg["color"], pts_in,
-                                grads_in, dirs_in, feat_in)
+    color_cfg = model_cfg["color"]
+    use_fused_color = False
+    if use_fused_train and color_cfg.get("use_fused_train", True):
+        from fmov_pose_tpu.ops import fused_color
+        use_fused_color = (fused_color.supported(color_cfg)
+                           and pts.shape[0] >= fused_color.MIN_SAMPLES)
 
-    sampled_color = jax.checkpoint(_color_block)(
-        params["color"], pts, gradients, dirs, feature
-    ).reshape(batch_size, n_samples, 3)
+    if use_fused_color:
+        # fused Pallas color MLP: activations stay in VMEM; the input
+        # concat + view PE (+ their VJPs) remain cheap XLA pointwise glue
+        from fmov_pose_tpu.core.embedder import positional_encode
+        from fmov_pose_tpu.ops import fused_color
+        view_pe = positional_encode(dirs, color_cfg["multires_view"])
+        xc = jnp.concatenate([pts, view_pe, gradients, feature], axis=-1)
+        sampled_color = fused_color.color_fused(
+            params["color"], color_cfg, xc).reshape(batch_size, n_samples, 3)
+    else:
+        def _color_block(color_params, pts_in, grads_in, dirs_in, feat_in):
+            return nets.color_apply(color_params, model_cfg["color"], pts_in,
+                                    grads_in, dirs_in, feat_in)
+
+        sampled_color = jax.checkpoint(_color_block)(
+            params["color"], pts, gradients, dirs, feature
+        ).reshape(batch_size, n_samples, 3)
 
     inv_s = nets.variance_inv_s(params["variance"])
 

@@ -55,6 +55,60 @@ for name, L in (("fused", L_fused), ("ref", L_ref)):
     jax.block_until_ready(o)
     print(f"2nd-order bwd {name}: {(time.perf_counter()-t0)/15*1e3:7.2f} ms")
 
+# ---------------------------------------------------------------------------
+# fused color kernel (ops/fused_color.py): forward + first-order backward
+# ---------------------------------------------------------------------------
+from fmov_pose_tpu.ops import fused_color
+
+c_cfg = ge.COLOR_CFG
+c_params = ge._field_params(jax.random.key(1))["color"]
+N = 4096
+xc = jnp.asarray(rng.normal(size=(N, 289)) * 0.3, jnp.float32)
+ct_col = jnp.asarray(rng.normal(size=(N, 3)), jnp.float32)
+
+col_f = fused_color.color_fused(c_params, c_cfg, xc)
+col_r = fused_color.apply_from_concat(c_params, c_cfg, xc)
+fwd_diff = float(jnp.abs(col_f - col_r).max())
+print(f"color fwd absmax_diff={fwd_diff:.3e}")
+
+def closs_fused(p, x):
+    return (fused_color.color_fused(p, c_cfg, x) * ct_col).sum()
+
+def closs_ref(p, x):
+    return (fused_color.apply_from_concat(p, c_cfg, x) * ct_col).sum()
+
+cgp_f, cgx_f = jax.grad(closs_fused, argnums=(0, 1))(c_params, xc)
+cgp_r, cgx_r = jax.grad(closs_ref, argnums=(0, 1))(c_params, xc)
+worst_c = 0.0
+for (path, lf), lr in zip(jax.tree_util.tree_leaves_with_path(cgp_f),
+                          jax.tree_util.tree_leaves(cgp_r)):
+    d = float(jnp.abs(lf - lr).max())
+    rel = d / (float(jnp.abs(lr).max()) + 1e-8)
+    worst_c = max(worst_c, rel)
+    print(f"color {jax.tree_util.keystr(path):34s} absmax_diff={d:.3e} "
+          f"rel={rel:.3e}")
+print("color xc grad diff:", float(jnp.abs(cgx_f - cgx_r).max()),
+      "rel:", float(jnp.abs(cgx_f - cgx_r).max()
+                    / (jnp.abs(cgx_r).max() + 1e-8)))
+print("color worst param rel:", worst_c)
+
+big_xc = jnp.asarray(rng.normal(size=(262144, 289)) * 0.3, jnp.float32)
+def CL_fused(p, x):
+    return fused_color.color_fused(p, c_cfg, x).sum()
+def CL_ref(p, x):
+    return fused_color.apply_from_concat(p, c_cfg, x).sum()
+for name, L in (("fused", CL_fused), ("ref", CL_ref)):
+    f = jax.jit(jax.grad(L))
+    for _ in range(3):
+        o = f(c_params, big_xc)
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(15):
+        o = f(c_params, big_xc)
+    jax.block_until_ready(o)
+    print(f"color fwd+bwd {name}: {(time.perf_counter()-t0)/15*1e3:7.2f} ms")
+
 # Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/validate_kernels_tpu.py
-# Validates the fused Pallas kernels (forward, fwd+grad, second-order
-# backward) against the XLA reference on the attached chip and times them.
+# Validates the fused Pallas kernels (SDF forward, fwd+grad, second-order
+# backward; color fwd + first-order backward) against the XLA reference on
+# the attached chip and times them.
