@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""End-to-end run of the SHIPPED confs on an HO3D-layout synthetic sequence.
+
+VERDICT r1 gap #4/#5: the full pipeline had only ever executed through
+test-sized conf templates. This script exercises the exact reference
+workflow (`/root/reference/README.md:97-134`, scripts/ours_ho3d_AP13.bash):
+
+  1. writes a synthetic orbit in the reference's directory schema
+         data/HO3Dv3/SYN_ori/{image,mask_obj,cameras_sphere.npz,
+                              transform_matrixs.npy}
+         data/HO3Dv3/SYN/{image,mask_obj,cameras_sphere.npz}
+         data/HO3Dv3/matches/SYN/*_matches.txt
+         data/HO3Dv3/ann/SYN.npz
+  2. copies confs/ho3d_virtual.conf + confs/ho3d_global_womask.conf
+     VERBATIM except for shortened schedule constants (end_iter,
+     warm-ups, frequencies) — model/dataset/loss sections untouched,
+  3. runs `python exp_runner.py --mode train --conf ./confs/
+     ho3d_virtual.conf --case SYN_ori --global_conf ./confs/
+     ho3d_global_womask.conf` as a subprocess from the work dir
+     (both phases + alignment + final 512-res mesh),
+  4. asserts every artifact of the two-phase contract exists and
+     reports the final pose ATE / mesh.
+
+Run on the TPU (serialize with other chip users):
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/e2e_ho3d_layout.py
+CPU (slow, ~1h):  add --device cpu
+"""
+
+import argparse
+import glob
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# schedule-only overrides (key -> (phase1 value, phase2 value); None = keep)
+SCHEDULE = {
+    "end_iter": (20000, 3000),
+    "warm_up_end": (300, 300),
+    "save_freq": (2000, 1500),
+    "val_freq": (1500, 1000),
+    "val_mesh_freq": (600, 1500),
+    "pose_freq": (1200, 1000),
+    "max_pro_iteration": (300, None),
+    "pro_warm_up_end": (150, None),
+    "mesh_warmup_step": (150, None),
+}
+
+
+def patch_conf(src, dst, phase):
+    with open(src) as f:
+        text = f.read()
+    for key, vals in SCHEDULE.items():
+        val = vals[phase]
+        if val is None:
+            continue
+        text, n = re.subn(rf"(?m)^(\s*{key} = ).*$", rf"\g<1>{val}", text)
+        assert n <= 1, (key, n)
+    with open(dst, "w") as f:
+        f.write(text)
+
+
+def build_workdir(work, n_frames, res):
+    from fmov_pose_tpu.data.synthetic import make_orbit_sequence
+    os.makedirs(os.path.join(work, "data", "HO3Dv3", "ann"), exist_ok=True)
+    os.makedirs(os.path.join(work, "confs"), exist_ok=True)
+    root = os.path.join(work, "data", "HO3Dv3")
+    make_orbit_sequence(os.path.join(root, "SYN_ori"), n_frames=n_frames,
+                        H=res, W=res, span_deg=150)
+    make_orbit_sequence(os.path.join(root, "SYN"), n_frames=n_frames,
+                        H=res, W=res, span_deg=150,
+                        with_matches=False, with_crop=False)
+    shutil.copy(os.path.join(root, "SYN", "cameras_sphere.npz"),
+                os.path.join(root, "ann", "SYN.npz"))
+    patch_conf(os.path.join(REPO, "confs", "ho3d_virtual.conf"),
+               os.path.join(work, "confs", "ho3d_virtual.conf"), 0)
+    patch_conf(os.path.join(REPO, "confs", "ho3d_global_womask.conf"),
+               os.path.join(work, "confs", "ho3d_global_womask.conf"), 1)
+
+
+def run_cli(work, device):
+    env = dict(os.environ)
+    if device == "cpu":
+        paths = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                 if p and "axon_site" not in p]
+        env["JAX_PLATFORMS"] = "cpu"
+    else:
+        paths = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+        if not any("axon_site" in p for p in paths):
+            paths.append("/root/.axon_site")
+    if REPO not in paths:
+        paths.insert(0, REPO)
+    env["PYTHONPATH"] = os.pathsep.join(paths)
+    cmd = [sys.executable, os.path.join(REPO, "exp_runner.py"),
+           "--mode", "train", "--conf", "./confs/ho3d_virtual.conf",
+           "--case", "SYN_ori",
+           "--global_conf", "./confs/ho3d_global_womask.conf"]
+    print("+", " ".join(cmd))
+    proc = subprocess.run(cmd, cwd=work, env=env, text=True,
+                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    log_path = os.path.join(work, "e2e_run.log")
+    with open(log_path, "w") as f:
+        f.write(proc.stdout)
+    print(f"log -> {log_path} ({len(proc.stdout.splitlines())} lines)")
+    if proc.returncode != 0:
+        print(proc.stdout[-4000:])
+        raise SystemExit(f"exp_runner failed rc={proc.returncode}")
+    return proc.stdout
+
+
+def verify_artifacts(work, log):
+    exp = os.path.join(work, "exp", "SYN_ori", "ours")
+    g = os.path.join(exp, "ho3d_global_womask")
+    problems = []
+
+    def need(pattern, what):
+        hits = glob.glob(pattern)
+        if not hits:
+            problems.append(f"missing {what}: {pattern}")
+        return sorted(hits)
+
+    need(os.path.join(exp, "meshes", "*.ply"), "phase-1 meshes")
+    need(os.path.join(exp, "checkpoints", "*.ckpt"), "phase-1 ckpts")
+    need(os.path.join(exp, "global_poses_*.npy"), "aligned global poses")
+    need(os.path.join(g, "cameras_sphere.npz"), "phase-2 dataset npz")
+    need(os.path.join(g, "noise_cameras_sphere.npz"), "phase-2 noise npz")
+    # phase-2 images are read in place from data/HO3Dv3/<case>/ (the
+    # shipped save_meta=False flow), not copied under the exp dir
+    need(os.path.join(work, "data", "HO3Dv3", "SYN", "image", "*"),
+         "phase-2 source images")
+    need(os.path.join(g, "checkpoints", "*.ckpt"), "phase-2 ckpts")
+    mesh512 = need(os.path.join(g, "meshes", "*_512_*.ply"),
+                   "final 512 mesh")
+
+    assert "reboot the system for global training" in log, \
+        "phase-2 reboot never happened"
+
+    ates = re.findall(r"ate[_= ]?([0-9.]+)", log)
+    pose_pngs = (glob.glob(os.path.join(g, "pose_vis", "*.png"))
+                 + glob.glob(os.path.join(exp, "pose_vis", "*.png")))
+    print(f"pose vis pngs: {len(pose_pngs)}; ATE mentions in log: "
+          f"{ates[-3:] if ates else 'none'}")
+
+    if problems:
+        for p in problems:
+            print("PROBLEM:", p)
+        raise SystemExit("e2e artifacts incomplete")
+    print("E2E OK: two-phase run through shipped confs completed")
+    if mesh512:
+        print("final mesh:", mesh512[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", default="/tmp/e2e_ho3d")
+    ap.add_argument("--device", choices=("tpu", "cpu"), default="tpu")
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--verify-only", action="store_true",
+                    help="re-check artifacts of an existing work dir")
+    args = ap.parse_args()
+
+    if args.verify_only:
+        with open(os.path.join(args.work, "e2e_run.log")) as f:
+            verify_artifacts(args.work, f.read())
+        return
+
+    if os.path.exists(args.work):
+        shutil.rmtree(args.work)
+    os.makedirs(args.work)
+    build_workdir(args.work, args.frames, args.res)
+    log = run_cli(args.work, args.device)
+    verify_artifacts(args.work, log)
+
+
+if __name__ == "__main__":
+    main()
