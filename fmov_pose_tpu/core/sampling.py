@@ -1,9 +1,13 @@
 """Inverse-CDF importance sampling, vectorized for TPU.
 
 Rewrite of the NeRF `sample_pdf` (`/root/reference/models/renderer.py:54-86`)
-using a branch-free `searchsorted` over the batch — static shapes, fully
-jit/vmap compatible, identical numerics (1e-5 weight floor, right-side
-bisection, denom clamp).
+with identical numerics (1e-5 weight floor, right-side bisection, denom
+clamp) but a TPU-native formulation: the reference's binary-search
+`searchsorted` becomes a branch-free compare-all.  Gathers (and
+`jnp.searchsorted`'s scan of dynamic-slices) serialize badly on TPU —
+measured 18.5 ms for 4 calls at [8192, 128]x16 in the phase-2 train step
+— while the [B, N, M] comparison + masked min/max reductions fuse into a
+couple of VPU passes with zero indexed loads.
 """
 
 from __future__ import annotations
@@ -11,7 +15,48 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sample_pdf"]
+__all__ = ["sample_pdf", "merge_sorted"]
+
+
+def merge_sorted(z_a: jnp.ndarray, z_b: jnp.ndarray,
+                 v_a: jnp.ndarray | None = None,
+                 v_b: jnp.ndarray | None = None):
+    """Merge two per-ray ascending arrays, gather-free.
+
+    Equivalent to argsort(concat([z_a, z_b])) + take_along_axis (the
+    reference's `cat_z_vals`, `renderer.py:222-242`) for already-sorted
+    inputs, including argsort's stable tie order (all of z_a before z_b).
+    TPU-native: merge ranks come from compare-all counts and the output is
+    assembled by one-hot contraction — XLA sorts and gathers at [8192, 128]
+    measured 2+ ms per merge in the phase-2 step; this fuses to VPU
+    compare/reduce passes.
+
+    v_a/v_b: optional per-sample payloads (e.g. SDF values) carried through
+    the same permutation. Returns z_merged or (z_merged, v_merged).
+    """
+    B, Ka = z_a.shape
+    Kb = z_b.shape[-1]
+    K = Ka + Kb
+    f32 = jnp.float32
+    # stable merge ranks: a_i goes after the b_j strictly below it;
+    # b_j goes after every a_i <= it (ties resolve a-first, like argsort
+    # over concat([a, b])).
+    pos_a = (jnp.arange(Ka)[None, :]
+             + jnp.sum(z_b[:, None, :] < z_a[:, :, None], axis=-1))
+    pos_b = (jnp.arange(Kb)[None, :]
+             + jnp.sum(z_a[:, None, :] <= z_b[:, :, None], axis=-1))
+    slots = jnp.arange(K)[None, None, :]
+    oh_a = (pos_a[:, :, None] == slots).astype(f32)        # [B, Ka, K]
+    oh_b = (pos_b[:, :, None] == slots).astype(f32)        # [B, Kb, K]
+
+    def place(a, b):
+        return (jnp.einsum("bik,bi->bk", oh_a, a)
+                + jnp.einsum("bjk,bj->bk", oh_b, b))
+
+    z = place(z_a, z_b)
+    if v_a is None:
+        return z
+    return z, place(v_a, v_b)
 
 
 def sample_pdf(
@@ -37,14 +82,36 @@ def sample_pdf(
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
-    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    # searchsorted(side="right") without gathers:
+    #   below = clamp(count(cdf <= u) - 1, 0), above = clamp(count, N-1)
+    #   cdf/bins at `below` = masked max (cdf is nondecreasing, >= 0)
+    #   cdf/bins at `above` = masked min
+    # `bins` is monotone with cdf per ray, so the same masks select the
+    # matching bin edges — no index materialization at all.
+    le = cdf[..., :, None] <= u[..., None, :]              # [B, N, M]
+    count = jnp.sum(le, axis=-2)                           # [B, M]
+    n = cdf.shape[-1]
+    neg = jnp.float32(-jnp.inf)
+    pos = jnp.float32(jnp.inf)
 
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(bins, below, axis=-1)
-    bins_a = jnp.take_along_axis(bins, above, axis=-1)
+    cdf_e = cdf[..., :, None]
+    bins_e = bins[..., :, None]
+    cdf_b = jnp.max(jnp.where(le, cdf_e, neg), axis=-2)
+    bins_b = jnp.max(jnp.where(le, bins_e, neg), axis=-2)
+    cdf_a = jnp.min(jnp.where(le, pos, cdf_e), axis=-2)
+    bins_a = jnp.min(jnp.where(le, pos, bins_e), axis=-2)
+
+    # count == 0  -> below = above = 0;  count == N -> above = N-1
+    first_cdf = cdf[..., :1]
+    first_bin = bins[..., :1]
+    last_cdf = cdf[..., -1:]
+    last_bin = bins[..., -1:]
+    empty_lo = count == 0
+    empty_hi = count == n
+    cdf_b = jnp.where(empty_lo, first_cdf, cdf_b)
+    bins_b = jnp.where(empty_lo, first_bin, bins_b)
+    cdf_a = jnp.where(empty_hi, last_cdf, cdf_a)
+    bins_a = jnp.where(empty_hi, last_bin, bins_a)
 
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = int(os.environ.get("FMOV_KERNEL_TILE", "512"))
+TILE = int(os.environ.get("FMOV_KERNEL_TILE", "1024"))
 VMEM_LIMIT = 100 * 1024 * 1024
 # below this many samples the per-call overhead (weight streaming into
 # VMEM, launch, pad) beats the HBM savings — measured crossover on v5e:

@@ -35,7 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 from fmov_pose_tpu.core.embedder import positional_encode
 from fmov_pose_tpu.fields import nets
 
-TILE = int(os.environ.get("FMOV_KERNEL_TILE", "512"))
+TILE = int(os.environ.get("FMOV_KERNEL_TILE", "1024"))
+# default 1024: measured best across the fused kernels at phase-2 scale
+# (scripts/tile_sweep.py, v5e: 2nd-order 138.9 ms vs 143.4 @512 per 1M pts)
 VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MB VMEM/core
 
 

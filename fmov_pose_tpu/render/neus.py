@@ -25,7 +25,7 @@ from typing import Any, Dict, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from fmov_pose_tpu.core.sampling import sample_pdf
+from fmov_pose_tpu.core.sampling import merge_sorted, sample_pdf
 from fmov_pose_tpu.fields import nets
 
 Params = Dict[str, Any]
@@ -51,9 +51,13 @@ def make_render_cfg(conf: Dict[str, Any]) -> RenderCfg:
 
 def _sdf_only_fn(model_cfg):
     """Pick the Pallas-fused SDF forward for gradient-free evaluation when
-    enabled+supported (ops/fused_sdf.py), else the XLA reference."""
+    enabled+supported (ops/fused_sdf.py), else the XLA reference.
+
+    `use_fused_train` also enables it: the SDF-guided upsampling inside the
+    train step is gradient-free and at phase-2 scale (~1M points/step) the
+    XLA path measured 122 ms vs ~15 ms fused (scripts/phase2_probe.py)."""
     sdf_cfg = model_cfg["sdf"]
-    if sdf_cfg.get("use_fused", False):
+    if sdf_cfg.get("use_fused", False) or sdf_cfg.get("use_fused_train", False):
         from fmov_pose_tpu.ops import fused_sdf
         if fused_sdf.supported(sdf_cfg):
             return lambda params, x: fused_sdf.sdf_only_fused(
@@ -71,9 +75,13 @@ def _transmittance_weights(alpha: jnp.ndarray) -> jnp.ndarray:
 def up_sample(params, model_cfg, rays_o, rays_d, z_vals, sdf, n_importance, inv_s):
     """One SDF-guided importance-sampling pass (`renderer.py:168-220`)."""
     batch_size, n_samples = z_vals.shape
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
-    radius = jnp.linalg.norm(pts, axis=-1)
-    inside_sphere = (radius[:, :-1] < 1.0) | (radius[:, 1:] < 1.0)
+    # |o + z d|^2 expanded: avoids materializing [B, N, 3] points whose
+    # 3-wide minor dim pads 42x on TPU (measured ~30 ms/step in phase 2)
+    o2 = jnp.sum(rays_o * rays_o, axis=-1, keepdims=True)
+    od = jnp.sum(rays_o * rays_d, axis=-1, keepdims=True)
+    d2 = jnp.sum(rays_d * rays_d, axis=-1, keepdims=True)
+    radius_sq = o2 + 2.0 * z_vals * od + z_vals * z_vals * d2
+    inside_sphere = (radius_sq[:, :-1] < 1.0) | (radius_sq[:, 1:] < 1.0)
     sdf = sdf.reshape(batch_size, n_samples)
     prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
     prev_z, next_z = z_vals[:, :-1], z_vals[:, 1:]
@@ -96,20 +104,18 @@ def up_sample(params, model_cfg, rays_o, rays_d, z_vals, sdf, n_importance, inv_
 
 
 def cat_z_vals(params, model_cfg, rays_o, rays_d, z_vals, new_z_vals, sdf, last: bool):
-    """Merge-sort new samples into z_vals, re-querying SDF (`renderer.py:222-242`)."""
+    """Merge-sort new samples into z_vals, re-querying SDF (`renderer.py:222-242`).
+
+    Both inputs are per-ray ascending (sample_pdf draws from a monotone
+    CDF), so the argsort becomes a gather-free two-list merge."""
     batch_size, n_samples = z_vals.shape
     _, n_importance = new_z_vals.shape
-    z_all = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    index = jnp.argsort(z_all, axis=-1)
-    z_sorted = jnp.take_along_axis(z_all, index, axis=-1)
     if last:
-        return z_sorted, sdf
+        return merge_sorted(z_vals, new_z_vals), sdf
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
     new_sdf = _sdf_only_fn(model_cfg)(params["sdf"], pts.reshape(-1, 3))
     new_sdf = new_sdf.reshape(batch_size, n_importance)
-    sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
-    sdf_sorted = jnp.take_along_axis(sdf_all, index, axis=-1)
-    return z_sorted, sdf_sorted
+    return merge_sorted(z_vals, new_z_vals, sdf, new_sdf)
 
 
 def render_core_outside(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
@@ -223,9 +229,16 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     c = prev_cdf
     alpha = jnp.clip(((p + 1e-5) / (c + 1e-5)).reshape(batch_size, n_samples), 0.0, 1.0)
 
-    pts_norm = jnp.linalg.norm(pts, axis=-1).reshape(batch_size, n_samples)
-    inside_sphere = jax.lax.stop_gradient((pts_norm < 1.0).astype(alpha.dtype))
-    relax_inside_sphere = jax.lax.stop_gradient((pts_norm < 1.2).astype(alpha.dtype))
+    # |o + z d|^2 expansion instead of a [B*N, 3] norm (3-wide minor dims
+    # pad to 128 lanes on TPU; see up_sample)
+    o2 = jnp.sum(rays_o * rays_o, axis=-1, keepdims=True)
+    od = jnp.sum(rays_o * rays_d, axis=-1, keepdims=True)
+    d2 = jnp.sum(rays_d * rays_d, axis=-1, keepdims=True)
+    pts_norm_sq = o2 + 2.0 * mid_z_vals * od + mid_z_vals * mid_z_vals * d2
+    inside_sphere = jax.lax.stop_gradient(
+        (pts_norm_sq < 1.0).astype(alpha.dtype))
+    relax_inside_sphere = jax.lax.stop_gradient(
+        (pts_norm_sq < 1.44).astype(alpha.dtype))
 
     if background_alpha is not None:
         alpha = alpha * inside_sphere + background_alpha[:, :n_samples] * (1.0 - inside_sphere)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fmov_pose_tpu.core.sampling import sample_pdf
+from fmov_pose_tpu.core.sampling import merge_sorted, sample_pdf
 
 __all__ = ["make_grid_points", "update_occ_grid", "occupancy_importance",
            "query_occ"]
@@ -73,5 +73,5 @@ def occupancy_importance(key, occ_grid, rays_o, rays_d, z_vals,
     # fall back to uniform on fully-empty rays (1e-2 floor)
     weights = occ + 1e-2
     new_z = sample_pdf(z_vals, weights, n_importance)
-    z_all = jnp.sort(jnp.concatenate([z_vals, new_z], axis=-1), axis=-1)
+    z_all = merge_sorted(z_vals, new_z)
     return jax.lax.stop_gradient(z_all)

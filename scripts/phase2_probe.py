@@ -47,8 +47,11 @@ def main():
     # --- full train step (the bench configuration)
     photo_step, state, packed = bench.build(
         B, use_fused_train=True, phase2=True, occupancy=args.occ)
-    t_step = timeit(lambda s, p: photo_step(s, p)[1]["loss"], state, packed,
-                    n=10)
+    # photo_step donates its state arg: thread it instead of reusing
+    # (reuse of a donated buffer is a runtime error on the TPU backend)
+    t_step, state = bench.time_steps(photo_step, state, packed,
+                                     warmup=3, iters=10)
+    t_step = 1.0 / t_step
     print(f"full step   ({n_rays} rays x {n_total}): {t_step*1e3:8.2f} ms "
           f"-> {n_rays/t_step:,.0f} rays/s")
 
@@ -89,7 +92,7 @@ def main():
         z_lin = jnp.linspace(0.0, 1.0, 64)
         z_vals = near + (far - near) * z_lin[None, :]
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
-        sdf = nets.sdf_only(p["sdf"], sdf_cfg, pts.reshape(-1, 3))
+        sdf = neus._sdf_only_fn(model_cfg)(p["sdf"], pts.reshape(-1, 3))
         sdf = sdf.reshape(n_rays, 64)
         for i in range(4):
             new_z = neus.up_sample(p, model_cfg, rays_o, rays_d, z_vals,

@@ -2,7 +2,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fmov_pose_tpu.core.sampling import sample_pdf
+from fmov_pose_tpu.core.sampling import merge_sorted, sample_pdf
 
 
 def brute_force_inverse_cdf(bins, weights, n_samples):
@@ -59,3 +59,47 @@ def test_jittable():
     bins = jnp.linspace(0, 1, 33)[None, :]
     weights = jnp.ones((1, 32))
     assert f(bins, weights).shape == (1, 16)
+
+
+def _argsort_merge(z_a, z_b, v_a=None, v_b=None):
+    """Oracle: the reference cat_z_vals recipe (argsort + take_along_axis)."""
+    z_all = np.concatenate([z_a, z_b], -1)
+    idx = np.argsort(z_all, axis=-1, kind="stable")
+    z_sorted = np.take_along_axis(z_all, idx, -1)
+    if v_a is None:
+        return z_sorted
+    v_all = np.concatenate([v_a, v_b], -1)
+    return z_sorted, np.take_along_axis(v_all, idx, -1)
+
+
+def test_merge_sorted_matches_argsort(rng):
+    z_a = np.sort(rng.uniform(0, 4, size=(7, 24)), -1).astype(np.float32)
+    z_b = np.sort(rng.uniform(0, 4, size=(7, 9)), -1).astype(np.float32)
+    v_a = rng.normal(size=z_a.shape).astype(np.float32)
+    v_b = rng.normal(size=z_b.shape).astype(np.float32)
+    z, v = merge_sorted(jnp.asarray(z_a), jnp.asarray(z_b),
+                        jnp.asarray(v_a), jnp.asarray(v_b))
+    z_ref, v_ref = _argsort_merge(z_a, z_b, v_a, v_b)
+    np.testing.assert_allclose(np.asarray(z), z_ref, atol=0)
+    np.testing.assert_allclose(np.asarray(v), v_ref, atol=0)
+
+
+def test_merge_sorted_ties_stable():
+    # duplicate values across the two lists: a's entries come first,
+    # payloads must follow the same stable order as argsort over concat
+    z_a = jnp.asarray([[0.0, 1.0, 1.0, 2.0]])
+    z_b = jnp.asarray([[1.0, 2.0]])
+    v_a = jnp.asarray([[10.0, 11.0, 12.0, 13.0]])
+    v_b = jnp.asarray([[20.0, 21.0]])
+    z, v = merge_sorted(z_a, z_b, v_a, v_b)
+    z_ref, v_ref = _argsort_merge(np.asarray(z_a), np.asarray(z_b),
+                                  np.asarray(v_a), np.asarray(v_b))
+    np.testing.assert_array_equal(np.asarray(z), z_ref)
+    np.testing.assert_array_equal(np.asarray(v), v_ref)
+
+
+def test_merge_sorted_no_payload(rng):
+    z_a = np.sort(rng.uniform(0, 1, size=(3, 16)), -1).astype(np.float32)
+    z_b = np.sort(rng.uniform(0, 1, size=(3, 16)), -1).astype(np.float32)
+    z = merge_sorted(jnp.asarray(z_a), jnp.asarray(z_b))
+    np.testing.assert_allclose(np.asarray(z), _argsort_merge(z_a, z_b), atol=0)
