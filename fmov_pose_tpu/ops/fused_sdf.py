@@ -7,9 +7,12 @@ resident in VMEM — weights (~2.2 MB) plus one tile of activations — so the
 only HBM traffic is the (pre-encoded) input points and the requested
 outputs.
 
-Positional encoding and its Jacobian-transpose stay OUTSIDE the kernel:
-per-frequency [T, 3] slices pad to 128 lanes in VMEM (42x waste, blew the
-scoped-VMEM stack), while XLA handles them as cheap fused pointwise ops.
+Positional encoding and its Jacobian-transpose stay OUTSIDE the kernel,
+in MATMUL form (see the lane-friendly PE section below): the original
+loop form — thirteen [N, 3] slice/concat pieces — materializes with 42x
+lane padding at the pallas boundary and measured 2.3x slower end-to-end
+(60 ms vs 26 ms fwd+grad at 1M points); the matmul form is one [3 -> D]
+selection dot plus full-width selects, bitwise-identical values.
 
 Entry points (all `jax.custom_vjp`: kernel primal, XLA-reference backward,
 so differentiation through them is exactly the pure-JAX gradient):
@@ -23,16 +26,17 @@ so differentiation through them is exactly the pure-JAX gradient):
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fmov_pose_tpu.core.embedder import positional_encode
 from fmov_pose_tpu.fields import nets
 
 TILE = int(os.environ.get("FMOV_KERNEL_TILE", "1024"))
@@ -117,6 +121,101 @@ def _dot(a, b):
     """bf16 x bf16 -> f32 MXU dot (weights are cast once per tile)."""
     return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
+
+
+# ------------------------------------------------------------------
+# Lane-friendly (matmul-form) positional encoding.
+#
+# The loop-form helpers above assemble/consume the [N, 3(1+2L)] encoding
+# through thirteen 3-wide slices.  Fused into a reduction XLA handles
+# that fine, but feeding a pallas_call forces the concat to MATERIALIZE,
+# and 3-wide minor dims pad 42x on TPU: the layout copies cost more than
+# the whole MLP kernel (measured 60 ms vs 26 ms for the fwd+grad wrapper
+# at 1M points on v5e).  The matmul form replaces every slice/concat
+# with one [3 -> D] selection matmul plus a full-width select:
+#     R  = xs @ G          (G one-hot: R_c = xs_{dim(c)}, exact in f32)
+#     xe = select(kind, R, sin(R f), cos(R f))
+# which is bitwise-identical to `positional_encode` (same sin/cos calls,
+# single-nonzero dot rows).  Jacobian / second-derivative diagonals are
+# full-width selects too, so pe_vjp / pe_jvp / the second-order term each
+# become one elementwise pass and at most one [D -> 3] matmul.
+# ------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _pe_tables_np(multires: int):
+    D = 3 * (1 + 2 * multires)
+    G = np.zeros((3, D), np.float32)
+    freq = np.ones((1, D), np.float32)
+    kind = np.zeros((1, D), np.int32)  # 0 = identity, 1 = sin, 2 = cos
+    for j in range(3):
+        G[j, j] = 1.0
+    c = 3
+    for i in range(multires):
+        f = 2.0 ** i
+        for j in range(3):
+            G[j, c] = 1.0
+            freq[0, c] = f
+            kind[0, c] = 1
+            c += 1
+        for j in range(3):
+            G[j, c] = 1.0
+            freq[0, c] = f
+            kind[0, c] = 2
+            c += 1
+    return G, freq, kind
+
+
+def _pe_tables(multires: int):
+    G, freq, kind = _pe_tables_np(multires)
+    return jnp.asarray(G), jnp.asarray(freq), jnp.asarray(kind)
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _pe_mm(xs: jnp.ndarray, multires: int) -> jnp.ndarray:
+    """positional_encode(xs, multires), matmul form ([N, 3] -> [N, D])."""
+    G, f, kind = _pe_tables(multires)
+    R = jnp.dot(xs, G, precision=_HI)
+    Rf = R * f
+    return jnp.where(kind == 0, R,
+                     jnp.where(kind == 1, jnp.sin(Rf), jnp.cos(Rf)))
+
+
+def _pe_jac_diag(xs: jnp.ndarray, multires: int) -> jnp.ndarray:
+    """d xe_c / d xs_{dim(c)} as a full-width [N, D] array."""
+    G, f, kind = _pe_tables(multires)
+    R = jnp.dot(xs, G, precision=_HI)
+    Rf = R * f
+    return jnp.where(kind == 0, jnp.ones_like(R),
+                     jnp.where(kind == 1, f * jnp.cos(Rf),
+                               -f * jnp.sin(Rf)))
+
+
+def _pe_vjp_mm(xs, d_inputs, multires):
+    """= _pe_vjp (Jacobian-transpose), matmul form."""
+    G, _, _ = _pe_tables(multires)
+    return jnp.dot(d_inputs * _pe_jac_diag(xs, multires), G.T, precision=_HI)
+
+
+def _pe_jvp_mm(xs, t, multires):
+    """= _pe_jvp (Jacobian applied to tangent t [N, 3]), matmul form."""
+    G, _, _ = _pe_tables(multires)
+    return jnp.dot(t, G, precision=_HI) * _pe_jac_diag(xs, multires)
+
+
+def _pe_second_mm(xs, d_inputs, ct_grad, multires):
+    """= _pe_second_term, matmul form: d/dxs of pe_vjp contracted with
+    ct_grad [N, 3].  Second derivative diagonal: -f^2 sin / -f^2 cos."""
+    G, f, kind = _pe_tables(multires)
+    R = jnp.dot(xs, G, precision=_HI)
+    Rf = R * f
+    d2 = jnp.where(kind == 0, jnp.zeros_like(R),
+                   jnp.where(kind == 1, -(f * f) * jnp.sin(Rf),
+                             -(f * f) * jnp.cos(Rf)))
+    ct_R = jnp.dot(ct_grad, G, precision=_HI)
+    return jnp.dot(ct_R * d_inputs * d2, G.T, precision=_HI)
 
 
 def _forward_tile(inputs, ws, bs, cfg, keep_preacts=False):
@@ -361,7 +460,7 @@ def _sdf_forward_impl(ws, bs, x, cfg_key, want_feature):
     cfg = dict(cfg_key)
     n_lin = len(ws)
     pe_dim = ws[0].shape[0]
-    xe = positional_encode(x * cfg.get("scale", 1.0), cfg["multires"])
+    xe = _pe_mm(x * cfg.get("scale", 1.0), cfg["multires"])
     xe, n = _pad_to_tile(xe)
     grid = xe.shape[0] // TILE
     d_out = cfg["d_out"] if want_feature else 1
@@ -387,7 +486,7 @@ def _sdf_forward_grad_impl(ws, bs, x, cfg_key):
     pe_dim = ws[0].shape[0]
     scale = cfg.get("scale", 1.0)
     xs = x * scale
-    xe = positional_encode(xs, cfg["multires"])
+    xe = _pe_mm(xs, cfg["multires"])
     xe, n = _pad_to_tile(xe)
     grid = xe.shape[0] // TILE
     d_out = cfg["d_out"]
@@ -418,7 +517,7 @@ def _sdf_forward_grad_impl(ws, bs, x, cfg_key):
     )(xe, *ws, *bs, *wts, w_last_col)
     # PE jacobian^T in XLA; the d/dx scale and the /scale on the sdf output
     # cancel, matching nets.sdf_gradient exactly
-    grad = _pe_vjp(xs, d_inputs[:n], cfg["multires"])
+    grad = _pe_vjp_mm(xs, d_inputs[:n], cfg["multires"])
     return out[:n], grad, d_inputs[:n]
 
 
@@ -434,7 +533,7 @@ def _sdf_bwd_impl(ws, bs, x, ybar, gbar_inp, cfg_key):
     n_lin = len(ws)
     pe_dim = ws[0].shape[0]
     scale = cfg.get("scale", 1.0)
-    xe = positional_encode(x * scale, cfg["multires"])
+    xe = _pe_mm(x * scale, cfg["multires"])
     xe, n = _pad_to_tile(xe)
     ybar_p, _ = _pad_to_tile(ybar)
     gbar_p, _ = _pad_to_tile(gbar_inp)
@@ -586,7 +685,7 @@ def _sdf_apply_grad_bwd(cfg_key, res, cts):
     # out = [z[:, :1]/scale, z[:, 1:]]  ->  cotangent on raw z
     ybar = jnp.concatenate([ct_out[:, :1] / scale, ct_out[:, 1:]], axis=-1)
     # grad = pe_vjp(xs, d_inputs)  ->  cotangent on d_inputs (linear part)
-    gbar_inp = _pe_jvp(xs, ct_grad, multires)
+    gbar_inp = _pe_jvp_mm(xs, ct_grad, multires)
 
     (ws, bs), mat_vjp = jax.vjp(
         lambda p: _materialize(p, cfg), params)
@@ -594,8 +693,8 @@ def _sdf_apply_grad_bwd(cfg_key, res, cts):
 
     # xs cotangent: through PE for the forward input, plus the
     # xs-dependence of pe_vjp itself (second PE derivative)
-    xsbar = _pe_vjp(xs, xebar, multires) \
-        + _pe_second_term(xs, d_inputs, ct_grad, multires)
+    xsbar = _pe_vjp_mm(xs, xebar, multires) \
+        + _pe_second_mm(xs, d_inputs, ct_grad, multires)
     xbar = xsbar * scale
 
     (pbar,) = mat_vjp((dws, [db[None, :] for db in dbs]))

@@ -196,7 +196,12 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
 
     if use_fused_color:
         # fused Pallas color MLP: activations stay in VMEM; the input
-        # concat + view PE (+ their VJPs) remain cheap XLA pointwise glue
+        # concat + view PE (+ their VJPs) remain XLA glue.  (An in-kernel
+        # split-input variant — view PE + W0 row-split matmuls, no
+        # [N, 289] materialization — measured a wash on the full step,
+        # 172.1 vs 172.5 ms: the 3-wide inputs DMA 42x-padded from HBM,
+        # cancelling the saved concat.  Deleted rather than kept as a
+        # second path.)
         from fmov_pose_tpu.core.embedder import positional_encode
         from fmov_pose_tpu.ops import fused_color
         view_pe = positional_encode(dirs, color_cfg["multires_view"])

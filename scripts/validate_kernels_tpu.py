@@ -107,8 +107,3 @@ for name, L in (("fused", CL_fused), ("ref", CL_ref)):
         o = f(c_params, big_xc)
     jax.block_until_ready(o)
     print(f"color fwd+bwd {name}: {(time.perf_counter()-t0)/15*1e3:7.2f} ms")
-
-# Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/validate_kernels_tpu.py
-# Validates the fused Pallas kernels (SDF forward, fwd+grad, second-order
-# backward; color fwd + first-order backward) against the XLA reference on
-# the attached chip and times them.
