@@ -35,6 +35,7 @@ train {{ learning_rate = 5e-4
         igr_weight = 0.1
         mask_weight = 0.1
         compute_dtype = {dtype}
+        use_fused_train_kernels = {fused}
         occupancy_sampling = {occ} }}
 model {{
     nerf {{ D = 8, d_in = 4, d_in_view = 3, W = 256, multires = 10,
@@ -58,6 +59,8 @@ def main():
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--frames", type=int, default=12)
     parser.add_argument("--occupancy", action="store_true")
+    parser.add_argument("--fused", action="store_true",
+                        help="train.use_fused_train_kernels (Pallas path)")
     parser.add_argument("--res", type=int, default=128)
     args = parser.parse_args()
 
@@ -78,6 +81,7 @@ def main():
         f.write(CONF.format(exp_dir=os.path.join(work, "exp"),
                             data_dir=data_dir, iters=args.iters,
                             dtype=args.dtype,
+                            fused="True" if args.fused else "False",
                             occ="True" if args.occupancy else "False"))
 
     t0 = time.time()
@@ -99,7 +103,7 @@ def main():
 
     print(json.dumps({
         "dtype": args.dtype, "iters": args.iters,
-        "occupancy": args.occupancy,
+        "occupancy": args.occupancy, "fused": args.fused,
         "train_time_s": round(train_time, 1),
         "iters_per_sec": round(args.iters / train_time, 2),
         "psnr": round(psnr, 2),
