@@ -66,7 +66,7 @@ def patch_conf(src, dst, phase):
         f.write(text)
 
 
-def build_workdir(work, n_frames, res):
+def build_workdir(work, n_frames, res, fast=False):
     from fmov_pose_tpu.data.synthetic import make_orbit_sequence
     os.makedirs(os.path.join(work, "data", "HO3Dv3", "ann"), exist_ok=True)
     os.makedirs(os.path.join(work, "confs"), exist_ok=True)
@@ -78,9 +78,12 @@ def build_workdir(work, n_frames, res):
                         with_matches=False, with_crop=False)
     shutil.copy(os.path.join(root, "SYN", "cameras_sphere.npz"),
                 os.path.join(root, "ann", "SYN.npz"))
-    patch_conf(os.path.join(REPO, "confs", "ho3d_virtual.conf"),
+    v_src = "ho3d_virtual_tpu_fast.conf" if fast else "ho3d_virtual.conf"
+    g_src = ("ho3d_global_womask_tpu_fast.conf" if fast
+             else "ho3d_global_womask.conf")
+    patch_conf(os.path.join(REPO, "confs", v_src),
                os.path.join(work, "confs", "ho3d_virtual.conf"), 0)
-    patch_conf(os.path.join(REPO, "confs", "ho3d_global_womask.conf"),
+    patch_conf(os.path.join(REPO, "confs", g_src),
                os.path.join(work, "confs", "ho3d_global_womask.conf"), 1)
 
 
@@ -163,6 +166,9 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="use the confs/*_tpu_fast.conf preset (fused "
+                         "kernels + occupancy sampling)")
     ap.add_argument("--verify-only", action="store_true",
                     help="re-check artifacts of an existing work dir")
     args = ap.parse_args()
@@ -175,7 +181,7 @@ def main():
     if os.path.exists(args.work):
         shutil.rmtree(args.work)
     os.makedirs(args.work)
-    build_workdir(args.work, args.frames, args.res)
+    build_workdir(args.work, args.frames, args.res, fast=args.fast)
     log = run_cli(args.work, args.device)
     verify_artifacts(args.work, log)
 

@@ -36,6 +36,31 @@ def test_virtual_conf_values():
     assert conf.get_list("general.recording") == ["./", "./fmov_pose_tpu"]
 
 
+def test_tpu_fast_presets_differ_only_by_switches():
+    """The *_tpu_fast.conf presets must be the shipped confs plus exactly
+    the two opt-in performance switches (no silent model/loss drift)."""
+    import re
+    for base, fast in (("ho3d_virtual.conf", "ho3d_virtual_tpu_fast.conf"),
+                       ("ho3d_global_womask.conf",
+                        "ho3d_global_womask_tpu_fast.conf")):
+        def strip(path):
+            lines = []
+            for line in open(os.path.join(REPO, "confs", path)):
+                line = re.sub(r"#.*", "", line).strip()
+                if line:
+                    lines.append(line)
+            return lines
+        extra = [l for l in strip(fast) if l not in strip(base)]
+        assert extra == ["use_fused_train_kernels = True",
+                         "occupancy_sampling = True"], (fast, extra)
+        missing = [l for l in strip(base) if l not in strip(fast)]
+        assert missing == [], (fast, missing)
+        conf = hocon.parse_file(os.path.join(REPO, "confs", fast),
+                                {"CASE_NAME": "X"})
+        assert conf.get_bool("train.use_fused_train_kernels") is True
+        assert conf.get_bool("train.occupancy_sampling") is True
+
+
 def test_defaults_and_put():
     conf = hocon.parse_string("a { b = 1 }")
     assert conf.get_int("a.b") == 1
