@@ -195,19 +195,16 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
                            and pts.shape[0] >= fused_color.MIN_SAMPLES)
 
     if use_fused_color:
-        # fused Pallas color MLP: activations stay in VMEM; the input
-        # concat + view PE (+ their VJPs) remain XLA glue.  (An in-kernel
-        # split-input variant — view PE + W0 row-split matmuls, no
-        # [N, 289] materialization — measured a wash on the full step,
-        # 172.1 vs 172.5 ms: the 3-wide inputs DMA 42x-padded from HBM,
-        # cancelling the saved concat.  Deleted rather than kept as a
-        # second path.)
-        from fmov_pose_tpu.core.embedder import positional_encode
+        # fused Pallas color MLP with feature-FIRST input assembly: the
+        # standard [pts|vpe|normals|feat] concat materializes from 3/27-
+        # wide pieces (42x lane padding at the pallas boundary, ~24 ms at
+        # 1M pts); feature-first + a selection-matmul tail saves ~8 ms.
+        # (A fully in-kernel split-input variant measured a wash — the
+        # 3-wide inputs DMA 42x-padded from HBM — and was deleted.)
         from fmov_pose_tpu.ops import fused_color
-        view_pe = positional_encode(dirs, color_cfg["multires_view"])
-        xc = jnp.concatenate([pts, view_pe, gradients, feature], axis=-1)
-        sampled_color = fused_color.color_fused(
-            params["color"], color_cfg, xc).reshape(batch_size, n_samples, 3)
+        sampled_color = fused_color.color_fused_featfirst(
+            params["color"], color_cfg, pts, dirs, gradients,
+            feature).reshape(batch_size, n_samples, 3)
     else:
         def _color_block(color_params, pts_in, grads_in, dirs_in, feat_in):
             return nets.color_apply(color_params, model_cfg["color"], pts_in,
