@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--max_pro", type=int, default=250)
     ap.add_argument("--mesh_warmup", type=int, default=500)
     ap.add_argument("--occupancy", action="store_true")
+    ap.add_argument("--fused", action="store_true",
+                    help="train.use_fused_train_kernels in BOTH phases")
     args = ap.parse_args()
 
     import numpy as np
@@ -93,7 +95,9 @@ def main():
             r"reset_rot_threshold = \d+": "reset_rot_threshold = 999",
             r"maintain_shape = True":
                 "maintain_shape = True\n    occupancy_sampling = "
-                + ("True" if args.occupancy else "False"),
+                + ("True" if args.occupancy else "False")
+                + "\n    use_fused_train_kernels = "
+                + ("True" if args.fused else "False"),
         }))
     shrink_conf(
         os.path.join(REPO, "confs/ho3d_global_womask.conf"),
@@ -101,6 +105,9 @@ def main():
         dict(common, **{
             r"end_iter = \d+": f"end_iter = {args.p2_iters}",
             r"warm_up_end = \d+": "warm_up_end = 200",
+            r"mask_guided_sampling = True":
+                "mask_guided_sampling = True\n    use_fused_train_kernels = "
+                + ("True" if args.fused else "False"),
         }))
 
     # drive the real CLI in-process: the parent already owns the (single,
@@ -178,6 +185,7 @@ def main():
     print(json.dumps({
         "frames": args.frames, "res": args.res, "span_deg": args.span,
         "p1_occupancy": args.occupancy,
+        "fused": args.fused,
         "p1_iters": args.p1_iters, "p2_iters": args.p2_iters,
         "pipeline_time_s": round(train_time, 1),
         "p1_ate": None if ate1 is None else round(float(ate1[0]), 5),
