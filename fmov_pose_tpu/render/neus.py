@@ -216,20 +216,24 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
 
     inv_s = nets.variance_inv_s(params["variance"])
 
-    true_cos = (dirs * gradients).sum(-1, keepdims=True)
+    # the whole cdf/alpha chain runs on [B, N] (N = 32/64/128 -> full
+    # 128-lane tiles); the reference's [B*N, 1] column shapes pad 128x
+    # per materialized op on TPU. Elementwise only — bitwise identical.
+    sdf_bn = sdf.reshape(batch_size, n_samples)
+    true_cos = (dirs * gradients).sum(-1).reshape(batch_size, n_samples)
     # anneal keeps cos "alive" early in training (`renderer.py:297-302`)
     iter_cos = -(
         jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
         + jax.nn.relu(-true_cos) * cos_anneal_ratio
     )
 
-    est_next_sdf = sdf + iter_cos * dists.reshape(-1, 1) * 0.5
-    est_prev_sdf = sdf - iter_cos * dists.reshape(-1, 1) * 0.5
+    est_next_sdf = sdf_bn + iter_cos * dists * 0.5
+    est_prev_sdf = sdf_bn - iter_cos * dists * 0.5
     prev_cdf = jax.nn.sigmoid(est_prev_sdf * inv_s)
     next_cdf = jax.nn.sigmoid(est_next_sdf * inv_s)
     p = prev_cdf - next_cdf
     c = prev_cdf
-    alpha = jnp.clip(((p + 1e-5) / (c + 1e-5)).reshape(batch_size, n_samples), 0.0, 1.0)
+    alpha = jnp.clip((p + 1e-5) / (c + 1e-5), 0.0, 1.0)
 
     # |o + z d|^2 expansion instead of a [B*N, 3] norm (3-wide minor dims
     # pad to 128 lanes on TPU; see up_sample)
@@ -258,8 +262,11 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     if background_rgb is not None:
         color = color + background_rgb * (1.0 - weights_sum)
 
-    gradient_error_raw = (jnp.linalg.norm(
-        gradients.reshape(batch_size, n_samples, 3), axis=-1) - 1.0) ** 2
+    # sqrt-of-sum-of-squares on [N, 3] then reshape — avoids a
+    # [B, N, 3] norm whose 3-wide minor dim pads 42x
+    grad_norm = jnp.sqrt((gradients * gradients).sum(-1)).reshape(
+        batch_size, n_samples)
+    gradient_error_raw = (grad_norm - 1.0) ** 2
     eik_num = (relax_inside_sphere * gradient_error_raw).sum()
     eik_den = relax_inside_sphere.sum()
     if eikonal_parts:
@@ -276,7 +283,7 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         "s_val": 1.0 / inv_s,
         "mid_z_vals": mid_z_vals,
         "weights": weights,
-        "cdf": c.reshape(batch_size, n_samples),
+        "cdf": c,
         "gradient_error": gradient_error,
         "inside_sphere": inside_sphere,
         "pts": pts,
