@@ -54,6 +54,40 @@ def test_random_mode_in_range(rng):
     assert (out >= 2.0).all() and (out <= 3.0).all()
 
 
+def test_degenerate_weights_match_bruteforce(rng):
+    """Edge regimes for the compare-all searchsorted: leading/trailing
+    zero-weight runs (exercises the count==0 / count==N clamps), a
+    single spike, and all-zero weights (1e-5 floor -> uniform)."""
+    B, N = 4, 32
+    cases = np.zeros((B, N), np.float32)
+    cases[0, N - 1] = 50.0          # all mass in the last bin
+    cases[1, 0] = 50.0              # all mass in the first bin
+    cases[2, :] = 0.0               # all-zero -> floor-uniform
+    cases[3, 5:9] = [1, 9, 9, 1]    # interior plateau
+    bins = np.sort(rng.uniform(0, 4, size=(B, N + 1)), -1).astype(np.float32)
+    out = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(cases), 16))
+    ref = brute_force_inverse_cdf(bins, cases, 16)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # samples always stay inside the bin range
+    assert (out >= bins[:, :1] - 1e-6).all()
+    assert (out <= bins[:, -1:] + 1e-6).all()
+
+
+def test_tied_cdf_values_match_bruteforce(rng):
+    """Exactly-tied cdf plateaus (zero-weight bins between spikes): the
+    masked min/max selection must pick the same bin edges searchsorted
+    does."""
+    B, N = 3, 16
+    w = np.zeros((B, N), np.float32)
+    w[:, 3] = 10.0
+    w[:, 11] = 10.0                  # long exact plateau between spikes
+    bins = np.tile(np.linspace(1.0, 3.0, N + 1,
+                               dtype=np.float32), (B, 1))
+    out = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(w), 24))
+    ref = brute_force_inverse_cdf(bins, w, 24)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_jittable():
     f = jax.jit(lambda b, w: sample_pdf(b, w, 16))
     bins = jnp.linspace(0, 1, 33)[None, :]
