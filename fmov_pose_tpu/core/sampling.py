@@ -50,8 +50,13 @@ def merge_sorted(z_a: jnp.ndarray, z_b: jnp.ndarray,
     oh_b = (pos_b[:, :, None] == slots).astype(f32)        # [B, Kb, K]
 
     def place(a, b):
-        return (jnp.einsum("bik,bi->bk", oh_a, a)
-                + jnp.einsum("bjk,bj->bk", oh_b, b))
+        # One-hot entries are exact in any dtype, but the VALUE operand must
+        # not be truncated: TPU matmul default is bf16, which would corrupt
+        # merged z_vals / carried SDF payloads by ~4e-3 rel on hardware
+        # (invisible to CPU tests).  HIGHEST matches _pe_mm et al.
+        hp = jax.lax.Precision.HIGHEST
+        return (jnp.einsum("bik,bi->bk", oh_a, a, precision=hp)
+                + jnp.einsum("bjk,bj->bk", oh_b, b, precision=hp))
 
     z = place(z_a, z_b)
     if v_a is None:
@@ -80,7 +85,11 @@ def sample_pdf(
         u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
     else:
-        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+        # Sorted so the output is per-ray ascending like the det path:
+        # merge_sorted (cat_z_vals) silently corrupts on unsorted input,
+        # so a future perturbed-importance-sampling caller stays safe.
+        u = jnp.sort(jax.random.uniform(key, cdf.shape[:-1] + (n_samples,)),
+                     axis=-1)
 
     # searchsorted(side="right") without gathers:
     #   below = clamp(count(cdf <= u) - 1, 0), above = clamp(count, N-1)

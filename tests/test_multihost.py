@@ -44,7 +44,7 @@ def _cpu_env(n_local_devices):
 
 
 def _parse_loss(stdout):
-    m = re.search(r"MULTIHOST_LOSS ([-\d.einf]+)", stdout)
+    m = re.search(r"MULTIHOST_LOSS (\S+)", stdout)
     assert m, f"no MULTIHOST_LOSS line in output:\n{stdout}"
     return float(m.group(1))
 
