@@ -1,0 +1,275 @@
+#!/usr/bin/env python
+"""Trained-model head-to-head: fmov-tpu vs the actual PyTorch reference.
+
+VERDICT r2 Missing #1 / driver quality target: "Chamfer and pose-ATE
+within 2% of the PyTorch reference" had only ever been argued
+transitively (80/80 step-level parity checks).  This harness trains BOTH
+implementations end-to-end on the SAME synthetic HO3D-layout sequence at
+the SAME reduced schedule (identical confs modulo each repo's recording
+path) and scores them side by side with the SAME scorer.
+
+Subcommands:
+  prepare   build /work: shared data + schedule-patched confs + workdirs
+  run-ref   train the unmodified reference (torch CPU via
+            scripts/run_reference.py; hours — run in background)
+  run-ours  train fmov-tpu through its CLI (TPU by default; minutes)
+  score     parse/compute phase-1 ATE, phase-2 ATE/RPE, render PSNR,
+            mesh Chamfer for both sides -> HEADTOHEAD.md
+
+Reference workflow replicated: scripts/ours_ho3d_AP13.bash
+(`exp_runner.py --mode train --conf confs/ho3d_virtual.conf
+--global_conf confs/ho3d_global_womask.conf`).
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+sys.path.insert(0, REPO)
+
+# identical schedule for both sides (phase1, phase2); None = keep shipped
+SCHEDULE = {
+    "end_iter": (2200, 1200),
+    "warm_up_end": (150, 150),
+    "save_freq": (1000000, 1000000),
+    "val_freq": (1000000, 1000000),
+    "val_mesh_freq": (500, 1000000),
+    "report_freq": (100, 100),
+    "pose_freq": (1000000, 1000000),
+    "max_pro_iteration": (120, None),
+    "pro_warm_up_end": (60, None),
+    "mesh_warmup_step": (120, None),
+    "batch_size": (256, 256),
+    "validate_resolution_level": (4, 4),
+}
+N_FRAMES = 12
+RES = 128
+SPAN = 150.0
+
+
+def patch_conf(src, dst, phase):
+    with open(src) as f:
+        text = f.read()
+    for key, vals in SCHEDULE.items():
+        val = vals[phase]
+        if val is None:
+            continue
+        text, n = re.subn(rf"(?m)^(\s*\"?{key}\"?\s*=\s*).*$",
+                          rf"\g<1>{val}", text)
+        assert n <= 1, (key, n, src)
+    with open(dst, "w") as f:
+        f.write(text)
+
+
+def prepare(work):
+    from fmov_pose_tpu.data.synthetic import make_orbit_sequence
+    os.makedirs(work, exist_ok=True)
+    root = os.path.join(work, "data", "HO3Dv3")
+    os.makedirs(os.path.join(root, "ann"), exist_ok=True)
+    make_orbit_sequence(os.path.join(root, "SYN_ori"), n_frames=N_FRAMES,
+                        H=RES, W=RES, span_deg=SPAN)
+    make_orbit_sequence(os.path.join(root, "SYN"), n_frames=N_FRAMES,
+                        H=RES, W=RES, span_deg=SPAN,
+                        with_matches=False, with_crop=False)
+    shutil.copy(os.path.join(root, "SYN", "cameras_sphere.npz"),
+                os.path.join(root, "ann", "SYN.npz"))
+
+    for side, conf_repo in (("ref", REF), ("ours", REPO)):
+        wd = os.path.join(work, side)
+        os.makedirs(os.path.join(wd, "confs"), exist_ok=True)
+        for link, target in (("data", os.path.join(work, "data")),):
+            path = os.path.join(wd, link)
+            if not os.path.exists(path):
+                os.symlink(target, path)
+        patch_conf(os.path.join(conf_repo, "confs", "ho3d_virtual.conf"),
+                   os.path.join(wd, "confs", "ho3d_virtual.conf"), 0)
+        patch_conf(os.path.join(conf_repo, "confs", "ho3d_global_womask.conf"),
+                   os.path.join(wd, "confs", "ho3d_global_womask.conf"), 1)
+    # reference file_backup records ./models (recording list in its conf)
+    for link in ("models", "utils"):
+        path = os.path.join(work, "ref", link)
+        if not os.path.exists(path):
+            os.symlink(os.path.join(REF, link), path)
+    ours_pkg = os.path.join(work, "ours", "fmov_pose_tpu")
+    if not os.path.exists(ours_pkg):
+        os.symlink(os.path.join(REPO, "fmov_pose_tpu"), ours_pkg)
+    print(f"prepared {work} ({N_FRAMES} frames @ {RES}^2, span {SPAN} deg)")
+
+
+def run_ref(work):
+    wd = os.path.join(work, "ref")
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "run_reference.py"),
+           "--conf", "./confs/ho3d_virtual.conf", "--case", "SYN_ori",
+           "--global_conf", "./confs/ho3d_global_womask.conf",
+           "--final_mesh_resolution", "192"]
+    log = os.path.join(work, "ref_run.log")
+    print("+", " ".join(cmd), "\nlog ->", log)
+    with open(log, "w") as f:
+        rc = subprocess.call(cmd, cwd=wd, stdout=f, stderr=subprocess.STDOUT)
+    print(f"reference run rc={rc}")
+    return rc
+
+
+def run_ours(work, device="tpu"):
+    wd = os.path.join(work, "ours")
+    env = dict(os.environ)
+    paths = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if device == "cpu":
+        paths = [p for p in paths if "axon_site" not in p]
+        env["JAX_PLATFORMS"] = "cpu"
+    elif not any("axon_site" in p for p in paths):
+        paths.append("/root/.axon_site")
+    if REPO not in paths:
+        paths.insert(0, REPO)
+    env["PYTHONPATH"] = os.pathsep.join(paths)
+    cmd = [sys.executable, os.path.join(REPO, "exp_runner.py"),
+           "--mode", "train", "--conf", "./confs/ho3d_virtual.conf",
+           "--case", "SYN_ori",
+           "--global_conf", "./confs/ho3d_global_womask.conf"]
+    log = os.path.join(work, "ours_run.log")
+    print("+", " ".join(cmd), "\nlog ->", log)
+    with open(log, "w") as f:
+        rc = subprocess.call(cmd, cwd=wd, env=env, stdout=f,
+                             stderr=subprocess.STDOUT)
+    print(f"ours run rc={rc}")
+    return rc
+
+
+# ---------------------------------------------------------------- scoring
+
+def gt_poses(work):
+    """GT c2w poses of the synthetic orbit (scale mats are identity)."""
+    cams = np.load(os.path.join(work, "data", "HO3Dv3", "ann", "SYN.npz"))
+    from fmov_pose_tpu.data.dataset import load_K_Rt_from_P
+    poses = []
+    for i in range(N_FRAMES):
+        _, pose = load_K_Rt_from_P(cams[f"world_mat_{i}"][:3, :4])
+        poses.append(pose)
+    return np.stack(poses)
+
+
+def pose_metrics(pred_c2w, gt_c2w):
+    from fmov_pose_tpu.pipeline.evalpose import (
+        align_ate_c2b_use_a2b, compute_ATE, compute_rpe)
+    pred = np.asarray(pred_c2w, np.float64)
+    gt = np.asarray(gt_c2w, np.float64)
+    aligned = align_ate_c2b_use_a2b(pred, gt)
+    ate = compute_ATE(gt, aligned)
+    rpe_t, rpe_r = compute_rpe(gt, aligned)
+    return dict(ate=float(ate), rpe_trans=float(rpe_t),
+                rpe_rot_deg=float(np.rad2deg(rpe_r)))
+
+
+def load_ref_pose_dict(path):
+    d = np.load(path, allow_pickle=True).item()
+    names = sorted(d.keys())
+    return np.stack([d[n] for n in names]), names
+
+
+def mesh_chamfer(mesh_path, n_gt=20000):
+    """Chamfer vs the analytic unit-radius GT sphere after center/scale
+    alignment (same protocol as scripts/pipeline_quality.py)."""
+    from fmov_pose_tpu.pipeline.meshio import read_ply
+    from fmov_pose_tpu.pipeline.chamfer import chamfer_distance
+    from fmov_pose_tpu.data.synthetic import SPHERE_RADIUS
+    verts, _ = read_ply(mesh_path)
+    if len(verts) > 60000:
+        sel = np.random.default_rng(0).choice(len(verts), 60000,
+                                              replace=False)
+        verts = verts[sel]
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(n_gt, 3))
+    gt = v / np.linalg.norm(v, axis=-1, keepdims=True) * SPHERE_RADIUS
+    c = verts.mean(axis=0)
+    verts = verts - c
+    scale = np.mean(np.linalg.norm(verts, axis=-1))
+    verts = verts / scale * SPHERE_RADIUS
+    cd, _, _ = chamfer_distance(verts, gt)
+    return float(cd)
+
+
+def psnr_from_log(log_text):
+    vals = re.findall(r"psnr[=: ]+([0-9.]+)", log_text, flags=re.I)
+    return [float(v) for v in vals]
+
+
+def score(work):
+    out = {"ref": {}, "ours": {}}
+    gt = gt_poses(work)
+
+    for side in ("ref", "ours"):
+        wd = os.path.join(work, side)
+        exp = os.path.join(wd, "exp", "SYN_ori", "ours")
+        g = os.path.join(exp, "ho3d_global_womask")
+        res = out[side]
+
+        # phase-1: PnP-aligned global poses saved at the transition
+        gp = sorted(glob.glob(os.path.join(exp, "global_poses_*.npy")))
+        if gp:
+            poses = np.load(gp[-1])
+            res["phase1"] = pose_metrics(poses, gt[:len(poses)])
+
+        # phase-2 final poses
+        if side == "ref":
+            pp = sorted(glob.glob(os.path.join(g, "poses_*.npy")),
+                        key=lambda p: int(re.findall(r"(\d+)", p)[-1]))
+            if pp:
+                poses, _ = load_ref_pose_dict(pp[-1])
+                res["phase2"] = pose_metrics(poses, gt[:len(poses)])
+        else:
+            pp = sorted(glob.glob(os.path.join(g, "poses_*.npy")),
+                        key=lambda p: int(re.findall(r"(\d+)", p)[-1]))
+            if pp:
+                arr = np.load(pp[-1], allow_pickle=True)
+                poses = (load_ref_pose_dict(pp[-1])[0]
+                         if arr.dtype == object else arr)
+                res["phase2"] = pose_metrics(poses, gt[:len(poses)])
+
+        # final mesh chamfer
+        meshes = sorted(glob.glob(os.path.join(g, "meshes", "*.ply")),
+                        key=os.path.getmtime)
+        if meshes:
+            res["mesh"] = os.path.basename(meshes[-1])
+            res["chamfer"] = mesh_chamfer(meshes[-1])
+
+        # PSNR as logged during training (validate renders if present)
+        log_path = os.path.join(work, f"{side}_run.log")
+        if os.path.exists(log_path):
+            vals = psnr_from_log(open(log_path).read())
+            if vals:
+                res["train_psnr_last"] = vals[-1]
+
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(work, "score.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=("prepare", "run-ref", "run-ours",
+                                    "score"))
+    ap.add_argument("--work", default="/root/hth")
+    ap.add_argument("--device", choices=("tpu", "cpu"), default="tpu")
+    args = ap.parse_args()
+    if args.cmd == "prepare":
+        prepare(args.work)
+    elif args.cmd == "run-ref":
+        sys.exit(run_ref(args.work))
+    elif args.cmd == "run-ours":
+        sys.exit(run_ours(args.work, args.device))
+    elif args.cmd == "score":
+        score(args.work)
+
+
+if __name__ == "__main__":
+    main()
