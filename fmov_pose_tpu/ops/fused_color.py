@@ -32,6 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = int(os.environ.get("FMOV_KERNEL_TILE", "1024"))
 VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    """Run pallas_calls in interpret mode (CPU tests / shard_map dry
+    runs).  Read per-call so tests can toggle via monkeypatch.setenv."""
+    return os.environ.get("FMOV_PALLAS_INTERPRET", "0") == "1"
 # below this many samples the per-call overhead (weight streaming into
 # VMEM, launch, pad) beats the HBM savings — measured crossover on v5e:
 # batch 512 x 32 (16k samples) regressed 128k -> 84k rays/s fused, while
@@ -164,6 +170,7 @@ def _color_fwd_impl(ws, bs, xc, n_lin):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((xc.shape[0], d_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
     )(xc, *ws, *bs)
     return out[:n]
 
@@ -193,6 +200,7 @@ def _color_bwd_impl(ws, bs, xc, ct, n_lin):
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
     )(xc, ct, *ws, *bs, *wts)
     xcbar = outs[0][:n]
     dws = list(outs[1:1 + n_lin])
@@ -207,7 +215,7 @@ def _cfg_key(cfg):
 def supported(cfg) -> bool:
     return (cfg.get("mode", "idr") == "idr"
             and cfg.get("squeeze_out", True)
-            and jax.default_backend() != "cpu")
+            and (jax.default_backend() != "cpu" or _interpret()))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -326,3 +334,293 @@ def color_fused_featfirst(params, cfg, pts, dirs, normals, feature):
     xc2 = assemble_featfirst(cfg, pts, dirs, normals, feature)
     p2 = permute_params_featfirst(params, cfg)
     return _color_op(p2, _cfg_key(cfg), xc2)
+
+
+# ------------------------------------------------------------------
+# Ray-level composited kernel (round 3).
+#
+# The featfirst wrapper still pays ~22 ms of HBM boundary traffic at 1M
+# samples (glue_probe.py: kernel 18.1 ms, +15.5 ms assembly/permute/vjp
+# glue, +6.9 ms [B,N,3] compositing): the [M,289] concat and its [M,289]
+# cotangent each materialize 384-lane-padded (1.5 GB), the [M,3] color
+# output pads 42x, and the composite runs on [B,N,3] (minor dim 3).
+# This variant moves ALL of it in-kernel:
+#   inputs  sdf_out [M,257] (feature sliced in-kernel -> no [M,256]
+#           copy), u [M,9] = [pts|dirs|normals] (PE tail built in-kernel
+#           from the same selection matmul), weights [B,N]
+#   outputs color [B,3] (composited over each ray's N samples in VMEM)
+# backward recomputes forward in-kernel and emits d_weights [B,N],
+# ubar [M,9], featbar [M,257] (col 0 zero) + accumulated dws/dbs.
+# Requires TILE % n_samples == 0 (each tile holds whole rays) and no
+# NeRF++ background mixing (render_core gates on background_alpha=None).
+# ------------------------------------------------------------------
+
+
+def _materialize_ff(params, cfg, n_lin):
+    """Dense weights with lin0 rows permuted to [feat | small] order.
+    Row-permutation commutes with weight-norm (norm is over the full
+    input axis), so this equals permute_params_featfirst + _materialize."""
+    ws, bs = _materialize(params, n_lin)
+    d_small = 9 + 6 * cfg["multires_view"]
+    ws = list(ws)
+    ws[0] = jnp.concatenate([ws[0][d_small:], ws[0][:d_small]], axis=0)
+    return ws, bs
+
+
+def _make_ray_fwd_kernel(n_lin, n_samples, d_feat):
+    hp = jax.lax.Precision.HIGHEST
+
+    def kernel(*refs):
+        sdf_ref, u_ref, w_ref, g_ref, f_ref, k_ref = refs[:6]
+        ws = [refs[6 + i][:] for i in range(n_lin)]
+        bs = [refs[6 + n_lin + i][:] for i in range(n_lin)]
+        out_ref = refs[6 + 2 * n_lin]
+        feat = sdf_ref[:, 1:1 + d_feat]
+        # selection matmul is exact one-hot picks; value operand must stay
+        # f32 (in-kernel jnp.dot defaults to bf16 -> 1e-3 PE drift)
+        r = jnp.dot(u_ref[:], g_ref[:], precision=hp)
+        rf = r * f_ref[:]
+        kind = k_ref[:]
+        small = jnp.where(kind == 0.0, r,
+                          jnp.where(kind == 1.0, jnp.sin(rf), jnp.cos(rf)))
+        h = jnp.concatenate([feat, small], axis=-1)
+        for l in range(n_lin):
+            h = _dot(h, ws[l]) + bs[l]
+            if l < n_lin - 1:
+                h = jnp.maximum(h, 0.0)
+        c = jax.nn.sigmoid(h)                       # (TILE, 3)
+        rays = c.shape[0] // n_samples
+        c3 = c.reshape(rays, n_samples, 3)
+        out_ref[:] = jnp.sum(c3 * w_ref[:][:, :, None], axis=1)
+
+    return kernel
+
+
+def _make_ray_bwd_kernel(n_lin, n_samples, d_feat):
+    hp = jax.lax.Precision.HIGHEST
+
+    def kernel(*refs):
+        sdf_ref, u_ref, w_ref, ct_ref, g_ref, f_ref, k_ref = refs[:7]
+        ws = [refs[7 + i][:] for i in range(n_lin)]
+        bs = [refs[7 + n_lin + i][:] for i in range(n_lin)]
+        wts = [refs[7 + 2 * n_lin + i][:] for i in range(n_lin)]
+        featbar_ref = refs[7 + 3 * n_lin]
+        ubar_ref = refs[8 + 3 * n_lin]
+        dw_ref = refs[9 + 3 * n_lin]
+        dws = [refs[10 + 3 * n_lin + i] for i in range(n_lin)]
+        dbs = [refs[10 + 4 * n_lin + i] for i in range(n_lin)]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for l in range(n_lin):
+                dws[l][:] = jnp.zeros_like(dws[l])
+                dbs[l][:] = jnp.zeros_like(dbs[l])
+
+        feat = sdf_ref[:, 1:1 + d_feat]
+        r = jnp.dot(u_ref[:], g_ref[:], precision=hp)
+        rf = r * f_ref[:]
+        kind = k_ref[:]
+        small = jnp.where(kind == 0.0, r,
+                          jnp.where(kind == 1.0, jnp.sin(rf), jnp.cos(rf)))
+        xc = jnp.concatenate([feat, small], axis=-1)
+        acts = [xc]
+        h = xc
+        for l in range(n_lin):
+            h = _dot(h, ws[l]) + bs[l]
+            if l < n_lin - 1:
+                h = jnp.maximum(h, 0.0)
+                acts.append(h)
+        c = jax.nn.sigmoid(h)                        # (TILE, 3)
+        rays = c.shape[0] // n_samples
+        c3 = c.reshape(rays, n_samples, 3)
+        w = w_ref[:]
+        ct = ct_ref[:]                               # (rays, 3)
+        dw_ref[:] = jnp.sum(c3 * ct[:, None, :], axis=2)
+        cbar = (ct[:, None, :] * w[:, :, None]).reshape(-1, 3)
+        zbar = cbar * c * (1.0 - c)
+        for l in range(n_lin - 1, -1, -1):
+            dws[l][:] += _dot_acc(acts[l], zbar)
+            dbs[l][:] += jnp.sum(zbar, axis=0, keepdims=True)
+            ibar = _dot(zbar, wts[l])
+            if l > 0:
+                zbar = ibar * (acts[l] > 0.0).astype(jnp.float32)
+        featbar = ibar[:, :d_feat]
+        featbar_ref[:] = jnp.concatenate(
+            [jnp.zeros_like(featbar[:, :1]), featbar], axis=-1)
+        smallbar = ibar[:, d_feat:]
+        dsel = jnp.where(kind == 0.0, jnp.ones_like(rf),
+                         jnp.where(kind == 1.0, jnp.cos(rf) * f_ref[:],
+                                   -jnp.sin(rf) * f_ref[:]))
+        ubar_ref[:] = jnp.dot(smallbar * dsel, g_ref[:].T, precision=hp)
+
+    return kernel
+
+
+def _ray_cfg_key(cfg, n_samples, d_sdf):
+    return (("n_layers", cfg["n_layers"]),
+            ("multires_view", cfg["multires_view"]),
+            ("n_samples", n_samples), ("d_sdf", d_sdf))
+
+
+def supported_ray(cfg, n_samples: int) -> bool:
+    return supported(cfg) and TILE % n_samples == 0
+
+
+def _pad_rows(x, rows):
+    pad = rows - x.shape[0]
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+    return x
+
+
+@partial(jax.jit, static_argnames=("ck",))
+def _ray_fwd_impl(ws, bs, sdf_out, u, weights, ck):
+    cfg = dict(ck)
+    n_lin = cfg["n_layers"] + 1
+    N = cfg["n_samples"]
+    d_sdf = cfg["d_sdf"]
+    d_feat = d_sdf - 1
+    M, B = sdf_out.shape[0], weights.shape[0]
+    M_pad = M + ((-M) % TILE)
+    B_pad = M_pad // N
+    rays_per_tile = TILE // N
+    sdf_p = _pad_rows(sdf_out, M_pad)
+    u_p = _pad_rows(u, M_pad)
+    w_p = _pad_rows(weights, B_pad)
+    G, f, kind = (jnp.asarray(t)
+                  for t in _ff_tables_np(cfg["multires_view"],
+                                         9 + 6 * cfg["multires_view"]))
+    grid = M_pad // TILE
+    tile_specs = [
+        pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
+        _make_ray_fwd_kernel(n_lin, N, d_feat),
+        grid=(grid,),
+        in_specs=tile_specs + _w_specs([G, f, kind]) + _w_specs(ws)
+        + _w_specs(bs),
+        out_specs=pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, 3), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(sdf_p, u_p, w_p, G, f, kind, *ws, *bs)
+    return out[:B]
+
+
+@partial(jax.jit, static_argnames=("ck",))
+def _ray_bwd_impl(ws, bs, sdf_out, u, weights, ct, ck):
+    cfg = dict(ck)
+    n_lin = cfg["n_layers"] + 1
+    N = cfg["n_samples"]
+    d_sdf = cfg["d_sdf"]
+    d_feat = d_sdf - 1
+    M, B = sdf_out.shape[0], weights.shape[0]
+    M_pad = M + ((-M) % TILE)
+    B_pad = M_pad // N
+    rays_per_tile = TILE // N
+    sdf_p = _pad_rows(sdf_out, M_pad)
+    u_p = _pad_rows(u, M_pad)
+    w_p = _pad_rows(weights, B_pad)
+    ct_p = _pad_rows(ct, B_pad)
+    G, f, kind = (jnp.asarray(t)
+                  for t in _ff_tables_np(cfg["multires_view"],
+                                         9 + 6 * cfg["multires_view"]))
+    grid = M_pad // TILE
+    wts = [w.T for w in ws]
+    in_specs = [
+        pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + _w_specs([G, f, kind]) + _w_specs(ws) + _w_specs(bs) + _w_specs(wts)
+    out_specs = (
+        [pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+         pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + _w_specs(ws) + _w_specs(bs))
+    out_shapes = (
+        [jax.ShapeDtypeStruct((M_pad, d_sdf), jnp.float32),
+         jax.ShapeDtypeStruct((M_pad, 9), jnp.float32),
+         jax.ShapeDtypeStruct((B_pad, N), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
+    outs = pl.pallas_call(
+        _make_ray_bwd_kernel(n_lin, N, d_feat),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(sdf_p, u_p, w_p, ct_p, G, f, kind, *ws, *bs, *wts)
+    featbar = outs[0][:M]
+    ubar = outs[1][:M]
+    dwgt = outs[2][:B]
+    dws = list(outs[3:3 + n_lin])
+    dbs = [b[0] for b in outs[3 + n_lin:]]
+    return featbar, ubar, dwgt, dws, dbs
+
+
+def ray_reference(params, cfg, sdf_out, u, weights):
+    """Pure-JAX oracle with identical math (feature-first concat,
+    selection-matmul PE tail, per-ray composite)."""
+    feat = sdf_out[:, 1:]
+    small_in = assemble_featfirst(
+        cfg, u[:, 0:3], u[:, 3:6], u[:, 6:9], feat)
+    p2 = permute_params_featfirst(params, cfg)
+    c = apply_from_concat(p2, cfg, small_in)
+    B, N = weights.shape
+    return (c.reshape(B, N, 3) * weights[:, :, None]).sum(axis=1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _ray_op(params, ck, sdf_out, u, weights):
+    cfg = dict(ck)
+    ws, bs = _materialize_ff(params, cfg, cfg["n_layers"] + 1)
+    return _ray_fwd_impl(ws, bs, sdf_out, u, weights, ck)
+
+
+def _ray_fwd(params, ck, sdf_out, u, weights):
+    return _ray_op(params, ck, sdf_out, u, weights), (params, sdf_out, u,
+                                                      weights)
+
+
+def _ray_bwd(ck, res, ct):
+    params, sdf_out, u, weights = res
+    cfg = dict(ck)
+    if os.environ.get("FMOV_FUSED_COLOR_BWD", "1") == "0":
+        _, vjp = jax.vjp(
+            lambda p, s, uu, w: ray_reference(p, cfg, s, uu, w),
+            params, sdf_out, u, weights)
+        return vjp(ct)
+    n_lin = cfg["n_layers"] + 1
+    (ws, bs), mat_vjp = jax.vjp(
+        lambda p: _materialize_ff(p, cfg, n_lin), params)
+    featbar, ubar, dwgt, dws, dbs = _ray_bwd_impl(
+        ws, bs, sdf_out, u, weights, ct, ck)
+    (pbar,) = mat_vjp((dws, [db[None, :] for db in dbs]))
+    return pbar, featbar, ubar, dwgt
+
+
+_ray_op.defvjp(_ray_fwd, _ray_bwd)
+
+
+def color_fused_ray(params, cfg, sdf_out, u, weights):
+    """Composited fused color: sdf_out [M, 1+d_feat] (raw fused-SDF
+    output), u [M, 9] = [pts|dirs|normals], weights [B, N] (M = B*N).
+    Returns color [B, 3].  Gradients flow to params, sdf_out (feature
+    columns), u, and weights."""
+    B, N = weights.shape
+    ck = _ray_cfg_key(cfg, N, sdf_out.shape[1])
+    return _ray_op(params, ck, sdf_out, u, weights)

@@ -45,6 +45,12 @@ TILE = int(os.environ.get("FMOV_KERNEL_TILE", "1024"))
 VMEM_LIMIT = 100 * 1024 * 1024  # v5e has 128 MB VMEM/core
 
 
+def _interpret() -> bool:
+    """Run pallas_calls in interpret mode (CPU tests / shard_map dry
+    runs).  Read per-call so tests can toggle via monkeypatch.setenv."""
+    return os.environ.get("FMOV_PALLAS_INTERPRET", "0") == "1"
+
+
 def _materialize(params, cfg):
     """Weight-norm -> dense [in, out] f32 weights + [1, out] biases."""
     dims = nets.sdf_dims(cfg)
@@ -240,13 +246,68 @@ def _forward_tile(inputs, ws, bs, cfg, keep_preacts=False):
     return out, preacts
 
 
+class _PETile:
+    """In-kernel matmul-form PE on one (TILE, 3) block.
+
+    Round 3: the PE and every derivative of it used to run in XLA around
+    the pallas boundary — each pass streams [M, 39]-padded arrays through
+    HBM (~4-5 ms apiece at 1M pts; trace_step.py select/pad fusions
+    totalled ~30 ms/step).  In VMEM the selects are cheap, but the
+    sin/cos pair must be computed ONCE and shared by the encoding, the
+    Jacobian diagonal and the second-derivative diagonal."""
+
+    def __init__(self, xs_s, g_ref, f_ref, k_ref):
+        hp = jax.lax.Precision.HIGHEST
+        self.f = f_ref[:]
+        self.kind = k_ref[:]
+        self.G = g_ref[:]
+        self.R = jnp.dot(xs_s, self.G, precision=hp)
+        Rf = self.R * self.f
+        self.sin = jnp.sin(Rf)
+        self.cos = jnp.cos(Rf)
+
+    def xe(self):
+        return jnp.where(self.kind == 0, self.R,
+                         jnp.where(self.kind == 1, self.sin, self.cos))
+
+    def jac(self):
+        return jnp.where(self.kind == 0, jnp.ones_like(self.R),
+                         jnp.where(self.kind == 1, self.f * self.cos,
+                                   -self.f * self.sin))
+
+    def d2(self):
+        f2 = self.f * self.f
+        return jnp.where(self.kind == 0, jnp.zeros_like(self.R),
+                         jnp.where(self.kind == 1, -f2 * self.sin,
+                                   -f2 * self.cos))
+
+
+def _ray_onehots(tile, n_samples):
+    """(O [tile, R], S [tile, N]) one-hots with O[t, t//N] = S[t, t%N] = 1.
+
+    Mosaic cannot shape-cast across the lane dim ((R, N) <-> (tile, 1)),
+    so the ray<->flat sdf layout changes run as exact one-hot
+    contractions instead (f32 one-hot dots are exact)."""
+    rays = tile // n_samples
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, rays), 0)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, rays), 1)
+    O = (t_iota // n_samples == r_iota).astype(jnp.float32)
+    t2 = jax.lax.broadcasted_iota(jnp.int32, (tile, n_samples), 0)
+    j2 = jax.lax.broadcasted_iota(jnp.int32, (tile, n_samples), 1)
+    S = (t2 % n_samples == j2).astype(jnp.float32)
+    return O, S
+
+
 def _make_fwd_kernel(cfg, n_lin, want_feature):
     def kernel(*refs):
-        xe_ref = refs[0]
-        ws = [refs[1 + i][:] for i in range(n_lin)]
-        bs = [refs[1 + n_lin + i][:] for i in range(n_lin)]
-        out_ref = refs[1 + 2 * n_lin]
-        out, _ = _forward_tile(xe_ref[:], ws, bs, cfg)
+        xs_ref = refs[0]
+        g_ref, f_ref, k_ref = refs[1], refs[2], refs[3]
+        ws = [refs[4 + i][:] for i in range(n_lin)]
+        bs = [refs[4 + n_lin + i][:] for i in range(n_lin)]
+        out_ref = refs[4 + 2 * n_lin]
+        xs_s = xs_ref[:] * cfg.get("scale", 1.0)
+        xe = _PETile(xs_s, g_ref, f_ref, k_ref).xe()
+        out, _ = _forward_tile(xe, ws, bs, cfg)
         if want_feature:
             out_ref[:] = out
         else:
@@ -455,27 +516,34 @@ def _weight_specs(ws, bs):
                             memory_space=pltpu.VMEM) for b in bs])
 
 
+def _pe_table_specs(multires):
+    G, f, kind = _pe_tables(multires)
+    specs = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                          memory_space=pltpu.VMEM) for t in (G, f, kind)]
+    return (G, f, kind), specs
+
+
 @partial(jax.jit, static_argnames=("cfg_key", "want_feature"))
 def _sdf_forward_impl(ws, bs, x, cfg_key, want_feature):
     cfg = dict(cfg_key)
     n_lin = len(ws)
-    pe_dim = ws[0].shape[0]
-    xe = _pe_mm(x * cfg.get("scale", 1.0), cfg["multires"])
-    xe, n = _pad_to_tile(xe)
-    grid = xe.shape[0] // TILE
+    xs, n = _pad_to_tile(x)
+    grid = xs.shape[0] // TILE
     d_out = cfg["d_out"] if want_feature else 1
+    (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
     kernel = _make_fwd_kernel(cfg, n_lin, want_feature)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((TILE, pe_dim), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((TILE, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
-        + _weight_specs(ws, bs),
+        + table_specs + _weight_specs(ws, bs),
         out_specs=pl.BlockSpec((TILE, d_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((xe.shape[0], d_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((xs.shape[0], d_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
-    )(xe, *ws, *bs)
+        interpret=_interpret(),
+    )(xs, G, f, kind, *ws, *bs)
     return out[:n]
 
 
@@ -514,6 +582,7 @@ def _sdf_forward_grad_impl(ws, bs, x, cfg_key):
             jax.ShapeDtypeStruct((xe.shape[0], pe_dim), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
     )(xe, *ws, *bs, *wts, w_last_col)
     # PE jacobian^T in XLA; the d/dx scale and the /scale on the sdf output
     # cancel, matching nets.sdf_gradient exactly
@@ -567,11 +636,316 @@ def _sdf_bwd_impl(ws, bs, x, ybar, gbar_inp, cfg_key):
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
     )(xe, ybar_p, gbar_p, *ws, *bs, *wts)
     xebar = outs[0][:n]
     dws = list(outs[1:1 + n_lin])
     dbs = [b[0] for b in outs[1 + n_lin:]]
     return dws, dbs, xebar
+
+
+# ------------------------------------------------------------------
+# Rays variant (round 3): in-kernel PE + split outputs/cotangents.
+#
+# The train path's boundary glue around the fwd+grad / 2nd-order kernels
+# (xe builds, pe_vjp/jvp/second chains, the [M,257] ybar pad_add, the
+# [M,1]->[B,N] sdf reshape) measured ~30 ms/step at 1M samples
+# (trace_step.py).  This variant takes raw xs [M,3], does PE and ALL of
+# its derivative algebra in VMEM, and returns
+#     (out [M, d_out], sdf_bn [B, N], grad [M, 3])
+# with the backward taking the naturally-shaped cotangents
+# (ct_out [M,d_out], ct_sdf [B,N], ct_grad [M,3]) — nothing wider than
+# 3 lanes crosses HBM except the d_out feature row the color kernel
+# needs anyway.
+# ------------------------------------------------------------------
+
+
+def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples):
+    skip_in = tuple(cfg.get("skip_in", (4,)))
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    hp = jax.lax.Precision.HIGHEST
+
+    def kernel(*refs):
+        xs_ref = refs[0]
+        g_ref, f_ref, k_ref = refs[1], refs[2], refs[3]
+        ws = [refs[4 + i][:] for i in range(n_lin)]
+        bs = [refs[4 + n_lin + i][:] for i in range(n_lin)]
+        wts = [refs[4 + 2 * n_lin + i][:] for i in range(n_lin - 1)]
+        w_last_col = refs[3 + 3 * n_lin][:]
+        out_ref = refs[4 + 3 * n_lin]
+        sdfbn_ref = refs[5 + 3 * n_lin]
+        grad_ref = refs[6 + 3 * n_lin]
+
+        scale = cfg.get("scale", 1.0)
+        xs_s = xs_ref[:] * scale
+        pe = _PETile(xs_s, g_ref, f_ref, k_ref)
+        xe = pe.xe()
+
+        h = xe
+        sigs = []
+        for l in range(n_lin):
+            inp = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
+                   if l in skip_in else h)
+            z = _dot(inp, ws[l]) + bs[l]
+            if l < n_lin - 1:
+                h, sig = _act_pair(z)
+                sigs.append(sig)
+            else:
+                h = z
+        out = jnp.concatenate([h[:, :1] / scale, h[:, 1:]], axis=-1)
+        out_ref[:] = out
+        O, Smask = _ray_onehots(out.shape[0], n_samples)
+        # sdf_bn[r, j] = out[r*N + j, 0]: exact one-hot contraction
+        sdfbn_ref[:] = jax.lax.dot_general(
+            O, out[:, :1] * Smask, (((0,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=jnp.float32)
+
+        delta = jnp.broadcast_to(
+            w_last_col, (xe.shape[0], w_last_col.shape[1]))
+        d_inputs = jnp.zeros_like(xe)
+        for l in range(n_lin - 2, -1, -1):
+            delta = delta * sigs[l]
+            delta = _dot(delta, wts[l])
+            if l in skip_in:
+                h_dim = wts[l].shape[1] - xe.shape[1]
+                d_inputs = d_inputs + delta[:, h_dim:] * inv_sqrt2
+                delta = delta[:, :h_dim] * inv_sqrt2
+        d_inputs = d_inputs + delta
+        # scale * (1/scale) on the sdf column cancels: grad is wrt raw x
+        grad_ref[:] = jnp.dot(d_inputs * pe.jac(), g_ref[:].T, precision=hp)
+
+    return kernel
+
+
+def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
+    skip_in = tuple(cfg.get("skip_in", (4,)))
+    S = skip_in[0] if skip_in else -1
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    hp = jax.lax.Precision.HIGHEST
+
+    def kernel(*refs):
+        xs_ref, ctout_ref, ctsdf_ref, ctgrad_ref = refs[:4]
+        g_ref, f_ref, k_ref = refs[4], refs[5], refs[6]
+        ws = [refs[7 + i][:] for i in range(n_lin)]
+        bs = [refs[7 + n_lin + i][:] for i in range(n_lin)]
+        wts = [refs[7 + 2 * n_lin + i][:] for i in range(n_lin)]
+        xsbar_ref = refs[7 + 3 * n_lin]
+        dws = [refs[8 + 3 * n_lin + i] for i in range(n_lin)]
+        dbs = [refs[8 + 4 * n_lin + i] for i in range(n_lin)]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            for l in range(n_lin):
+                dws[l][:] = jnp.zeros_like(dws[l])
+                dbs[l][:] = jnp.zeros_like(dbs[l])
+
+        scale = cfg.get("scale", 1.0)
+        xs_s = xs_ref[:] * scale
+        pe = _PETile(xs_s, g_ref, f_ref, k_ref)
+        xe = pe.xe()
+        jac = pe.jac()
+        T = xe.shape[0]
+
+        ct_out = ctout_ref[:]
+        # ct_sdf [R, N] -> flat column [T, 1] via exact one-hot dots
+        O, Smask = _ray_onehots(T, n_samples)
+        ct_sdf = jnp.sum(
+            jnp.dot(O, ctsdf_ref[:], precision=hp) * Smask,
+            axis=1, keepdims=True)
+        ct_grad = ctgrad_ref[:]
+        ybar = jnp.concatenate(
+            [(ct_out[:, :1] + ct_sdf) / scale, ct_out[:, 1:]], axis=-1)
+        ct_grad_G = jnp.dot(ct_grad, g_ref[:], precision=hp)
+        gbar = ct_grad_G * jac                      # pe_jvp(xs, ct_grad)
+
+        # forward, storing activations and sigmoids
+        acts = []
+        sigs = []
+        h = xe
+        for l in range(n_lin):
+            inp = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
+                   if l == S else h)
+            z = _dot(inp, ws[l]) + bs[l]
+            if l < n_lin - 1:
+                h, sig = _act_pair(z)
+                acts.append(h)
+                sigs.append(sig)
+
+        # primal gradient chain, storing d_l and the full xe-cotangent
+        # (d_inputs, needed for the PE second-derivative term)
+        ds = [None] * n_lin
+        ds[n_lin - 1] = jnp.broadcast_to(
+            wts[n_lin - 1][0:1, :], (T, wts[n_lin - 1].shape[1]))
+        d_inputs = jnp.zeros_like(xe)
+        for l in range(n_lin - 2, -1, -1):
+            e = ds[l + 1] * sigs[l]
+            fm = _dot(e, wts[l])
+            if l == S:
+                h_dim = wts[l].shape[1] - xe.shape[1]
+                d_inputs = d_inputs + fm[:, h_dim:] * inv_sqrt2
+                ds[l] = fm[:, :h_dim] * inv_sqrt2
+            else:
+                ds[l] = fm
+        d_inputs = d_inputs + ds[0]
+
+        # Phase A: reverse the gradient chain (ascend l)
+        zbar_chain = [None] * n_lin
+        dbar = gbar
+        for l in range(0, n_lin - 1):
+            if l == S:
+                fbar = jnp.concatenate(
+                    [dbar * inv_sqrt2, gbar * inv_sqrt2], axis=-1)
+            else:
+                fbar = dbar
+            sp = sigs[l]
+            e = ds[l + 1] * sp
+            dws[l][:] += jax.lax.dot_general(
+                fbar.astype(jnp.bfloat16), e.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ebar = _dot(fbar, ws[l])
+            dbar = ebar * sp
+            spp = 100.0 * sp * (1.0 - sp)
+            zbar_chain[l] = ebar * ds[l + 1] * spp
+        col_bar = jnp.sum(dbar, axis=0, keepdims=True)
+        onehot = (jax.lax.broadcasted_iota(
+            jnp.int32, (1, ws[n_lin - 1].shape[1]), 1) == 0).astype(
+            jnp.float32)
+        dws[n_lin - 1][:] += jax.lax.dot_general(
+            col_bar, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        # Phase B: reverse the forward chain (descend l)
+        xebar = jnp.zeros_like(xe)
+        zbar = ybar
+        for l in range(n_lin - 1, -1, -1):
+            if l == 0:
+                inp = xe
+            else:
+                prev = acts[l - 1]
+                inp = (jnp.concatenate([prev, xe], axis=-1) * inv_sqrt2
+                       if l == S else prev)
+            dws[l][:] += jax.lax.dot_general(
+                inp.astype(jnp.bfloat16), zbar.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            dbs[l][:] += jnp.sum(zbar, axis=0, keepdims=True)
+            inpbar = _dot(zbar, wts[l])
+            if l == S:
+                h_dim = wts[l].shape[1] - xe.shape[1]
+                xebar = xebar + inpbar[:, h_dim:] * inv_sqrt2
+                ibar = inpbar[:, :h_dim] * inv_sqrt2
+            else:
+                ibar = inpbar
+            if l == 0:
+                xebar = xebar + ibar
+            else:
+                extra = zbar_chain[l - 1]
+                zbar = ibar * sigs[l - 1] + (extra if extra is not None
+                                             else 0.0)
+
+        # xs cotangent fully in-kernel: pe_vjp(xs, xebar) + second term
+        xsbar = jnp.dot(xebar * jac + ct_grad_G * d_inputs * pe.d2(),
+                        g_ref[:].T, precision=hp)
+        xsbar_ref[:] = xsbar * scale
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
+def _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples):
+    cfg = dict(cfg_key)
+    n_lin = len(ws)
+    d_out = cfg["d_out"]
+    xs, n = _pad_to_tile(x)
+    grid = xs.shape[0] // TILE
+    rays_per_tile = TILE // n_samples
+    b_pad = xs.shape[0] // n_samples
+    (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
+    wts = [w.T for w in ws[:-1]]
+    w_last_col = ws[-1][:, 0][None, :]
+    kernel = _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples)
+    out, sdf_bn, grad = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + table_specs + _weight_specs(ws, bs)
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in wts]
+        + [pl.BlockSpec(w_last_col.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((TILE, d_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((xs.shape[0], d_out), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, n_samples), jnp.float32),
+            jax.ShapeDtypeStruct((xs.shape[0], 3), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(xs, G, f, kind, *ws, *bs, *wts, w_last_col)
+    return out[:n], sdf_bn[:n // n_samples], grad[:n]
+
+
+@partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
+def _sdf_bwd_rays_impl(ws, bs, x, ct_out, ct_sdf, ct_grad, cfg_key,
+                       n_samples):
+    cfg = dict(cfg_key)
+    n_lin = len(ws)
+    d_out = cfg["d_out"]
+    xs, n = _pad_to_tile(x)
+    ctout_p, _ = _pad_to_tile(ct_out)
+    ctgrad_p, _ = _pad_to_tile(ct_grad)
+    b_pad = xs.shape[0] // n_samples
+    ct_sdf_p = ct_sdf
+    if ct_sdf_p.shape[0] != b_pad:
+        ct_sdf_p = jnp.concatenate(
+            [ct_sdf_p, jnp.zeros((b_pad - ct_sdf_p.shape[0], n_samples),
+                                 ct_sdf_p.dtype)], 0)
+    grid = xs.shape[0] // TILE
+    rays_per_tile = TILE // n_samples
+    (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
+    wts = [w.T for w in ws]
+    kernel = _make_bwd_rays_kernel(cfg, n_lin, n_samples)
+    out_shapes = (
+        [jax.ShapeDtypeStruct((xs.shape[0], 3), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
+    out_specs = (
+        [pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in ws]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for b in bs])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TILE, d_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + table_specs + _weight_specs(ws, bs)
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in wts],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(xs, ctout_p, ct_sdf_p, ctgrad_p, G, f, kind, *ws, *bs, *wts)
+    xbar = outs[0][:n]
+    dws = list(outs[1:1 + n_lin])
+    dbs = [b[0] for b in outs[1 + n_lin:]]
+    return xbar, dws, dbs
 
 
 def _cfg_key(cfg):
@@ -584,7 +958,7 @@ def _cfg_key(cfg):
 def supported(cfg) -> bool:
     return (cfg.get("d_in", 3) == 3 and cfg.get("multires", 0) > 0
             and len(tuple(cfg.get("skip_in", (4,)))) == 1
-            and jax.default_backend() != "cpu")
+            and (jax.default_backend() != "cpu" or _interpret()))
 
 
 # ------------------------------------------------------------------
@@ -702,6 +1076,65 @@ def _sdf_apply_grad_bwd(cfg_key, res, cts):
 
 
 _sdf_apply_grad_op.defvjp(_sdf_apply_grad_fwd, _sdf_apply_grad_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 3))
+def _sdf_rays_op(params, cfg_key, x, n_samples):
+    ws, bs = _materialize(params, dict(cfg_key))
+    return _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples)
+
+
+def _sdf_rays_fwd(params, cfg_key, x, n_samples):
+    return _sdf_rays_op(params, cfg_key, x, n_samples), (params, x)
+
+
+def _sdf_rays_bwd(cfg_key, n_samples, res, cts):
+    params, x = res
+    ct_out, ct_sdf, ct_grad = cts
+    if os.environ.get("FMOV_FUSED_BWD", "1") == "0":
+        # XLA reference oracle through the unfused nets
+        cfg = dict(cfg_key)
+
+        def ref(p, pts):
+            out = nets.sdf_apply(p, cfg, pts)
+            grad = nets.sdf_gradient(p, cfg, pts)
+            sdf_bn = out[:, 0].reshape(-1, n_samples)
+            return out, sdf_bn, grad
+
+        _, vjp = jax.vjp(ref, params, x)
+        return vjp((ct_out, ct_sdf, ct_grad))
+    (ws, bs), mat_vjp = jax.vjp(
+        lambda p: _materialize(p, dict(cfg_key)), params)
+    xbar, dws, dbs = _sdf_bwd_rays_impl(
+        ws, bs, x, ct_out, ct_sdf, ct_grad, cfg_key, n_samples)
+    (pbar,) = mat_vjp((dws, [db[None, :] for db in dbs]))
+    return pbar, xbar
+
+
+_sdf_rays_op.defvjp(_sdf_rays_fwd, _sdf_rays_bwd)
+
+
+def sdf_apply_grad_fused_rays(params, cfg, x, n_samples: int):
+    """(out [M, d_out], sdf_bn [M//n_samples, n_samples], grad [M, 3])
+    with PE and every PE-derivative chain fused in-kernel, and the
+    backward taking naturally-shaped split cotangents.  Requires
+    TILE % n_samples == 0 (each tile holds whole rays)."""
+    return _sdf_rays_op(params, _cfg_key(cfg), x, n_samples)
+
+
+# below this many total samples the rays variant loses to the plain
+# fused kernels: its in-kernel PE trades HBM passes for VPU
+# transcendentals, a win only once the boundary traffic dominates —
+# measured v5e crossover: batch 512 x 64 (32k samples) regressed
+# 182.4k -> 147.5k rays/s, while 4096 x 128 (524k) gained 57.8k -> 63.0k
+MIN_SAMPLES_RAYS = int(os.environ.get("FMOV_FUSED_RAYS_MIN", "65536"))
+
+
+def supported_rays(cfg, n_samples: int, n_pts: int = None) -> bool:
+    ok = supported(cfg) and TILE % n_samples == 0
+    if n_pts is not None:
+        ok = ok and n_pts >= MIN_SAMPLES_RAYS
+    return ok
 
 
 def sdf_apply_grad_fused(params, cfg, x):

@@ -163,13 +163,23 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         from fmov_pose_tpu.ops import fused_sdf
         use_fused_train = fused_sdf.supported(sdf_cfg)
 
+    sdf_bn_direct = None
     if use_fused_train:
         # fully-fused Pallas path: fwd+grad in one kernel, and a fused
         # second-order backward (custom_vjp) — O(batch) memory, ~15%
         # faster than the remat'ed XLA path on v5e
         from fmov_pose_tpu.ops import fused_sdf
-        sdf_nn, gradients = fused_sdf.sdf_apply_grad_fused(
-            params["sdf"], sdf_cfg, pts)
+        if fused_sdf.supported_rays(sdf_cfg, n_samples, pts.shape[0]):
+            # rays variant (round 3): PE + its derivative chains live
+            # in-kernel and the sdf scalar comes out [B, N] directly, so
+            # the [M,39] xe/pe-vjp passes and the [M,257] cotangent
+            # assembly never touch HBM (~30 ms/step at 1M samples)
+            sdf_nn, sdf_bn_direct, gradients = \
+                fused_sdf.sdf_apply_grad_fused_rays(
+                    params["sdf"], sdf_cfg, pts, n_samples)
+        else:
+            sdf_nn, gradients = fused_sdf.sdf_apply_grad_fused(
+                params["sdf"], sdf_cfg, pts)
     else:
         # remat: the outer training grad differentiates through this
         # block's own VJP (second order for the eikonal term).  Without
@@ -182,19 +192,37 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
             return out, grads
 
         sdf_nn, gradients = jax.checkpoint(_sdf_block)(params["sdf"], pts)
-    sdf = sdf_nn[:, :1]
+    if sdf_bn_direct is not None:
+        sdf = sdf_bn_direct.reshape(-1, 1)
+    else:
+        sdf = sdf_nn[:, :1]
     feature = sdf_nn[:, 1:]
     if eval_mode:
         gradients = jax.lax.stop_gradient(gradients)
 
     color_cfg = model_cfg["color"]
     use_fused_color = False
+    use_fused_color_ray = False
     if use_fused_train and color_cfg.get("use_fused_train", True):
         from fmov_pose_tpu.ops import fused_color
         use_fused_color = (fused_color.supported(color_cfg)
                            and pts.shape[0] >= fused_color.MIN_SAMPLES)
+        # ray-level composited kernel (round 3): reads the raw SDF output
+        # (no [M,256] feature slice), builds the PE tail in-kernel from
+        # [M,9], and composites each ray's samples in VMEM — the [M,289]
+        # concat + cotangent, [M,3] color and [B,N,3] composite chains
+        # (glue_probe.py: ~22 ms at 1M samples) never touch HBM.
+        # Incompatible with NeRF++ background mixing (needs per-sample
+        # colors) — falls back to the featfirst path there.
+        import os
+        use_fused_color_ray = (
+            use_fused_color and background_alpha is None
+            and fused_color.supported_ray(color_cfg, n_samples)
+            and os.environ.get("FMOV_FUSED_COLOR_RAY", "1") == "1")
 
-    if use_fused_color:
+    if use_fused_color_ray:
+        sampled_color = None  # composited in-kernel after weights
+    elif use_fused_color:
         # fused Pallas color MLP with feature-FIRST input assembly: the
         # standard [pts|vpe|normals|feat] concat materializes from 3/27-
         # wide pieces (42x lane padding at the pallas boundary, ~24 ms at
@@ -219,7 +247,8 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     # the whole cdf/alpha chain runs on [B, N] (N = 32/64/128 -> full
     # 128-lane tiles); the reference's [B*N, 1] column shapes pad 128x
     # per materialized op on TPU. Elementwise only — bitwise identical.
-    sdf_bn = sdf.reshape(batch_size, n_samples)
+    sdf_bn = (sdf_bn_direct if sdf_bn_direct is not None
+              else sdf.reshape(batch_size, n_samples))
     true_cos = (dirs * gradients).sum(-1).reshape(batch_size, n_samples)
     # anneal keeps cos "alive" early in training (`renderer.py:297-302`)
     iter_cos = -(
@@ -258,7 +287,13 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
 
     weights = _transmittance_weights(alpha)
     weights_sum = weights.sum(axis=-1, keepdims=True)
-    color = (sampled_color * weights[..., None]).sum(axis=1)
+    if use_fused_color_ray:
+        from fmov_pose_tpu.ops import fused_color
+        u = jnp.concatenate([pts, dirs, gradients], axis=-1)
+        color = fused_color.color_fused_ray(
+            params["color"], color_cfg, sdf_nn, u, weights)
+    else:
+        color = (sampled_color * weights[..., None]).sum(axis=1)
     if background_rgb is not None:
         color = color + background_rgb * (1.0 - weights_sum)
 
