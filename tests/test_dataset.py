@@ -110,3 +110,45 @@ def test_incomplete_noise_init_raises(seq_dir, tmp_path):
     conf = _conf(str(dst), use_crop_init="True")
     with pytest.raises(ValueError, match="covers 1 frames"):
         Dataset(conf, exp_dir=str(dst))
+
+
+def test_ml_camera_intrinsics_branch(seq_dir, tmp_path):
+    """ML layout: fixed K from a camera.txt, identity poses, no ann
+    (`models/dataset.py:215-233`, confs/ml_virtual.conf)."""
+    ds0 = Dataset(_conf(seq_dir))
+    K = np.asarray(ds0.intrinsics_all[0][:3, :3])
+    cam_txt = tmp_path / "camera.txt"
+    with open(cam_txt, "w") as f:
+        for row in K:
+            f.write(" ".join(str(v) for v in row) + "\n")
+    ds = Dataset(_conf(seq_dir, ml_camera_intrinsics=str(cam_txt),
+                       partial_ann="True", mask_init="True", crop="True"))
+    assert ds.n_images == 6
+    np.testing.assert_allclose(
+        np.asarray(ds.intrinsics_all[0][:3, :3]), K, rtol=1e-6)
+    # all frames share the txt intrinsics; poses start at identity
+    np.testing.assert_allclose(ds.intrinsics_all[0], ds.intrinsics_all[-1])
+    np.testing.assert_allclose(
+        np.asarray(ds.scale_mats_np[0]), np.eye(4), atol=0)
+    inv = ds.intrinsics_all_inv[0]
+    np.testing.assert_allclose(inv @ ds.intrinsics_all[0], np.eye(4),
+                               atol=1e-5)
+
+
+def test_unknown_camera_branch(seq_dir, tmp_path):
+    """unknown_camera: K.npy in the data dir, identity poses
+    (`models/dataset.py:234-248`)."""
+    import os
+    import shutil
+    ddir = tmp_path / "SYNU_ori"
+    shutil.copytree(seq_dir, ddir)
+    os.remove(ddir / "cameras_sphere.npz")
+    ds0 = Dataset(_conf(seq_dir))
+    K = np.asarray(ds0.intrinsics_all[0][:3, :3])
+    np.save(ddir / "K.npy", K)
+    ds = Dataset(_conf(str(ddir), unknown_camera="True"))
+    assert ds.n_images == 6
+    np.testing.assert_allclose(
+        np.asarray(ds.intrinsics_all[0][:3, :3]), K, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ds.scale_mats_np[-1]), np.eye(4), atol=0)
