@@ -556,7 +556,7 @@ class Runner:
         if (self.pose_mode not in ("fixed", "gf") or self.flow_weight > 0
                 or self.progressive or self.maintain_shape
                 or self.gradient_analysis or self.reset_based_on_rot
-                or self.mesh_warmup_step > 0 or self.use_dp):
+                or self.mesh_warmup_step > 0):
             return 0
         k = self.conf.get_int("train.scan_chunk", 100)
         freqs = [self.report_freq, self.val_freq, self.val_mesh_freq,
@@ -576,10 +576,17 @@ class Runner:
             "anneal_end": self.anneal_end,
             "mask_guided": 1.0 if self.mask_guided_sampling else 0.0,
         }
-        scan = step_mod.make_scan_photo_steps(
-            self.step_cfg, self.images_dev, self.masks_dev,
-            self.intr_inv_dev, self.bbox_dev, schedule, k,
-            depths=self.depths_dev)
+        if self.use_dp:
+            from fmov_pose_tpu.parallel import dp
+            scan = dp.make_dp_scan_photo_steps(
+                self.step_cfg, self.images_dev, self.masks_dev,
+                self.intr_inv_dev, self.bbox_dev, dp.make_mesh(), schedule,
+                k, depths=self.depths_dev)
+        else:
+            scan = step_mod.make_scan_photo_steps(
+                self.step_cfg, self.images_dev, self.masks_dev,
+                self.intr_inv_dev, self.bbox_dev, schedule, k,
+                depths=self.depths_dev)
         n_cur = jnp.asarray(self.current_image, jnp.int32)
         t_start = time.time()
         rays_done = 0

@@ -422,6 +422,34 @@ def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table,
     return step
 
 
+def make_device_scalars(schedule: Dict[str, float], n_segments: int):
+    """it_f -> StepScalars for the scan paths: cosine LR
+    (`exp_runner.py:1049-1062`), cos-anneal ratio, constant flags — every
+    per-step scalar as a pure device function of the iteration."""
+    lr0 = schedule["learning_rate"]
+    alpha = schedule["learning_rate_alpha"]
+    warm_up = schedule["warm_up_end"]
+    end_iter = schedule["end_iter"]
+    anneal_end = schedule.get("anneal_end", 0.0)
+    mask_guided = schedule.get("mask_guided", 1.0)
+    S = n_segments
+
+    def device_scalars(it_f):
+        warm = it_f / jnp.maximum(warm_up, 1.0)
+        progress = (it_f - warm_up) / jnp.maximum(end_iter - warm_up, 1.0)
+        cosf = (jnp.cos(jnp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
+        lr = lr0 * jnp.where(it_f < warm_up, warm, cosf)
+        cos_anneal = (jnp.ones(()) if anneal_end == 0.0
+                      else jnp.minimum(1.0, it_f / anneal_end))
+        return StepScalars(
+            lr=lr, cos_anneal=cos_anneal, main_update=jnp.ones(()),
+            pose_update=jnp.ones(()), mask_guided=jnp.asarray(mask_guided),
+            seg_touch=jnp.ones((S,)), seg_freeze=jnp.ones((S,)),
+            seg_lr=jnp.full((S,), lr0), trans_head_on=jnp.ones(()))
+
+    return device_scalars
+
+
 def make_scan_photo_steps(cfg: StepConfig, images, masks, intr_inv_all,
                           bbox_table, schedule: Dict[str, float],
                           k_steps: int, depths=None):
@@ -441,26 +469,7 @@ def make_scan_photo_steps(cfg: StepConfig, images, masks, intr_inv_all,
     base_step = make_photo_step(cfg, images, masks, intr_inv_all, bbox_table,
                                 depths=depths)
     run_one = base_step.run_one
-    lr0 = schedule["learning_rate"]
-    alpha = schedule["learning_rate_alpha"]
-    warm_up = schedule["warm_up_end"]
-    end_iter = schedule["end_iter"]
-    anneal_end = schedule.get("anneal_end", 0.0)
-    mask_guided = schedule.get("mask_guided", 1.0)
-    S = cfg.n_segments
-
-    def device_scalars(it_f):
-        warm = it_f / jnp.maximum(warm_up, 1.0)
-        progress = (it_f - warm_up) / jnp.maximum(end_iter - warm_up, 1.0)
-        cosf = (jnp.cos(jnp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
-        lr = lr0 * jnp.where(it_f < warm_up, warm, cosf)
-        cos_anneal = (jnp.ones(()) if anneal_end == 0.0
-                      else jnp.minimum(1.0, it_f / anneal_end))
-        return StepScalars(
-            lr=lr, cos_anneal=cos_anneal, main_update=jnp.ones(()),
-            pose_update=jnp.ones(()), mask_guided=jnp.asarray(mask_guided),
-            seg_touch=jnp.ones((S,)), seg_freeze=jnp.ones((S,)),
-            seg_lr=jnp.full((S,), lr0), trans_head_on=jnp.ones(()))
+    device_scalars = make_device_scalars(schedule, cfg.n_segments)
 
     @partial(jax.jit, donate_argnums=(0,))
     def scan_steps(state: TrainState, n_images_cur):
