@@ -100,6 +100,22 @@ def build(batch_size, use_fused_train=False, phase2=False,
     return photo_step, state, packed
 
 
+def step_flops(photo_step, state, packed):
+    """Model FLOPs of one compiled step via XLA cost analysis (0.0 if the
+    backend does not expose it). Used to report achieved TF/s (MFU) so the
+    plateau numbers in CLAUDE.md are reproducible from bench output.
+    Caveat: XLA counts custom calls (Pallas kernels) as 0 flops, so fused
+    configs understate true TF/s; the unfused batch_512 row is the honest
+    MFU probe."""
+    try:
+        cost = photo_step.lower(state, packed).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
 def time_steps(photo_step, state, packed, warmup=5, iters=30):
     import os
 
@@ -133,10 +149,13 @@ def main():
         try:
             photo_step, state, packed = build(
                 batch, use_fused_train=fused, phase2=phase2, occupancy=occ)
+            flops = step_flops(photo_step, state, packed)
             steps_per_sec, _ = time_steps(photo_step, state, packed)
             rays_per_step = batch * 2  # maintain_shape doubles the rays
             rays_per_sec = steps_per_sec * rays_per_step
             details[tag] = round(rays_per_sec)
+            if flops:
+                details[tag + "_tfs"] = round(flops * steps_per_sec / 1e12, 1)
             if not phase2:
                 best = max(best, rays_per_sec)
         except Exception as e:  # keep the bench alive on OOM etc.

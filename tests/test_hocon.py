@@ -42,7 +42,10 @@ def test_tpu_fast_presets_differ_only_by_switches():
     import re
     for base, fast in (("ho3d_virtual.conf", "ho3d_virtual_tpu_fast.conf"),
                        ("ho3d_global_womask.conf",
-                        "ho3d_global_womask_tpu_fast.conf")):
+                        "ho3d_global_womask_tpu_fast.conf"),
+                       ("ml_virtual.conf", "ml_virtual_tpu_fast.conf"),
+                       ("ml_global_womask.conf",
+                        "ml_global_womask_tpu_fast.conf")):
         def strip(path):
             lines = []
             for line in open(os.path.join(REPO, "confs", path)):
