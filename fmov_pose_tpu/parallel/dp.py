@@ -32,7 +32,8 @@ from fmov_pose_tpu.data import rays as raygen
 from fmov_pose_tpu.train import optim, step as step_mod
 
 __all__ = ["make_mesh", "make_dp_photo_step", "make_dp_flow_step",
-           "make_dp_scan_photo_steps"]
+           "make_dp_scan_photo_steps", "maybe_initialize_distributed",
+           "is_main", "replicate_tree"]
 
 AXIS = "data"
 
@@ -250,9 +251,57 @@ def make_dp_flow_step(cfg: step_mod.StepConfig, images, masks, intr_inv_all,
     return dp_flow_step
 
 
+_distributed_initialized = False
+
+
 def maybe_initialize_distributed():
     """Multi-host: call jax.distributed.initialize when launched under a
-    multi-process coordinator (env-gated, no-op single host)."""
+    multi-process coordinator (env-gated, no-op single host, idempotent).
+
+    With only FMOV_DISTRIBUTED=1 set, coordinator/rank come from the
+    cluster environment (auto-detect).  FMOV_COORDINATOR /
+    FMOV_NUM_PROCESSES / FMOV_PROCESS_ID override explicitly — used by
+    tests/test_multihost.py to stand up a 2-process CPU cluster."""
+    global _distributed_initialized
     import os
-    if os.environ.get("FMOV_DISTRIBUTED") == "1":
-        jax.distributed.initialize()
+    if os.environ.get("FMOV_DISTRIBUTED") != "1" or _distributed_initialized:
+        return
+    kwargs = {}
+    if os.environ.get("FMOV_COORDINATOR"):
+        kwargs = dict(
+            coordinator_address=os.environ["FMOV_COORDINATOR"],
+            num_processes=int(os.environ["FMOV_NUM_PROCESSES"]),
+            process_id=int(os.environ["FMOV_PROCESS_ID"]))
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+
+
+def is_main() -> bool:
+    """True on the process that should own host-side writes (checkpoints,
+    tensorboard, validation images/meshes). Single-process: always True."""
+    return jax.process_index() == 0
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Replicate every array leaf of a pytree over a (possibly
+    multi-process) mesh.
+
+    Single-device uncommitted arrays cannot feed a computation whose mesh
+    spans processes they are not addressable on (device_put refuses
+    non-addressable shardings), so every leaf goes through
+    jax.make_array_from_process_local_data with a fully-replicated spec —
+    each process holds the full replica. PRNG keys round-trip through
+    their raw key data."""
+    rep = jax.sharding.NamedSharding(mesh, P())
+
+    def _rep(x):
+        if x is None:
+            return None
+        if isinstance(x, jax.Array) and jnp.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            data = np.asarray(jax.random.key_data(x))
+            return jax.random.wrap_key_data(
+                jax.make_array_from_process_local_data(rep, data))
+        return jax.make_array_from_process_local_data(rep, np.asarray(x))
+
+    return jax.tree_util.tree_map(_rep, tree)

@@ -94,6 +94,17 @@ class Runner:
         self.rng = np.random.default_rng(seed)
         self.gradient_analysis = gradient_analysis
 
+        # multi-host: attach to the coordinator BEFORE any device use (the
+        # backend is frozen on first array op); no-op unless
+        # FMOV_DISTRIBUTED=1. Host-side writes (checkpoints, tensorboard,
+        # validation images/meshes) then happen on process 0 only — all
+        # ranks still execute every jitted computation in lockstep, which
+        # is required: a rank skipping a global SPMD program deadlocks the
+        # others.
+        from fmov_pose_tpu.parallel import dp as _dp
+        _dp.maybe_initialize_distributed()
+        self.is_main = _dp.is_main()
+
         conf = hocon.parse_file(conf_path, {"CASE_NAME": case,
                                             "DATA_SET": dataset})
         self.conf = conf
@@ -375,9 +386,18 @@ class Runner:
         self.use_dp = use_dp
         if use_dp:
             from fmov_pose_tpu.parallel import dp
-            dp.maybe_initialize_distributed()
             mesh = dp.make_mesh()
-            LOG.info("data-parallel over %d devices", mesh.shape[dp.AXIS])
+            self.mesh = mesh
+            LOG.info("data-parallel over %d devices (%d processes)",
+                     mesh.shape[dp.AXIS], jax.process_count())
+            if jax.process_count() > 1:
+                # multi-host: every closure capture and the train state must
+                # be global replicated arrays (see dp.replicate_tree)
+                (self.images_dev, self.masks_dev, self.intr_inv_dev,
+                 self.bbox_dev, self.depths_dev, self.state) = \
+                    dp.replicate_tree(mesh, (
+                        self.images_dev, self.masks_dev, self.intr_inv_dev,
+                        self.bbox_dev, self.depths_dev, self.state))
             self.photo_step = dp.make_dp_photo_step(
                 self.step_cfg, self.images_dev, self.masks_dev,
                 self.intr_inv_dev, self.bbox_dev, mesh,
@@ -630,8 +650,10 @@ class Runner:
     _prof = None  # set per train() call; honors FMOV_PROFILE_DIR
 
     def train(self):
-        from tensorboardX import SummaryWriter
-        self.writer = SummaryWriter(os.path.join(self.base_exp_dir, "logs"))
+        if self.is_main:
+            from tensorboardX import SummaryWriter
+            self.writer = SummaryWriter(
+                os.path.join(self.base_exp_dir, "logs"))
         self._prof = _StepProfiler()
         try:
             return self._train_dispatch()
@@ -922,18 +944,21 @@ class Runner:
                       * 128 + 128).clip(0, 255)
 
         import cv2 as cv
-        os.makedirs(os.path.join(self.base_exp_dir, "validations_fine"),
-                    exist_ok=True)
-        os.makedirs(os.path.join(self.base_exp_dir, "normals"), exist_ok=True)
         gt = self.dataset.image_at(idx, resolution_level)
         stacked = np.concatenate([img_fine, gt])
         if return_img:
             return stacked
-        tag = f"{self.current_image:08d}_{self.iter_step:08d}_0_{idx}.png"
-        cv.imwrite(os.path.join(self.base_exp_dir, "validations_fine", tag),
-                   stacked.astype(np.uint8))
-        cv.imwrite(os.path.join(self.base_exp_dir, "normals", tag),
-                   normal_img.astype(np.uint8))
+        if self.is_main:
+            os.makedirs(os.path.join(self.base_exp_dir, "validations_fine"),
+                        exist_ok=True)
+            os.makedirs(os.path.join(self.base_exp_dir, "normals"),
+                        exist_ok=True)
+            tag = f"{self.current_image:08d}_{self.iter_step:08d}_0_{idx}.png"
+            cv.imwrite(
+                os.path.join(self.base_exp_dir, "validations_fine", tag),
+                stacked.astype(np.uint8))
+            cv.imwrite(os.path.join(self.base_exp_dir, "normals", tag),
+                       normal_img.astype(np.uint8))
         psnr = float(10 * np.log10(
             255.0**2 / max(((img_fine - gt) ** 2).mean(), 1e-9)))
         return psnr
@@ -972,6 +997,8 @@ class Runner:
             self.writer.add_scalar("Pose/rpe_trans", rpe_trans, self.iter_step)
             self.writer.add_scalar("Pose/rpe_rot", rpe_rot, self.iter_step)
         pose_dir = os.path.join(self.base_exp_dir, "poses")
+        if not self.is_main:  # multi-host: rank 0 owns the pose artifacts
+            return ate, rpe_trans, rpe_rot, gt, est
         os.makedirs(pose_dir, exist_ok=True)
         try:
             from fmov_pose_tpu.pipeline import vis
@@ -1009,7 +1036,9 @@ class Runner:
         query = geometry.make_sdf_query(self.state.params, self.model_cfg)
         vertices, triangles = geometry.extract_geometry(
             bound_min, bound_max, resolution, threshold, query)
-        os.makedirs(os.path.join(self.base_exp_dir, "meshes"), exist_ok=True)
+        if self.is_main:
+            os.makedirs(os.path.join(self.base_exp_dir, "meshes"),
+                        exist_ok=True)
         if world_space and len(self.dataset.scale_mats_np):
             sm = self.dataset.scale_mats_np[0]
             vertices = vertices * sm[0, 0] + sm[:3, 3][None]
@@ -1029,8 +1058,9 @@ class Runner:
         name = (f"{self.current_image:08d}_{step_tag:08d}_{resolution}_"
                 f"{self.mode}.ply")
         path = os.path.join(self.base_exp_dir, "meshes", name)
-        meshio.write_ply(path, vertices, triangles, vertex_colors=colors)
-        LOG.info("mesh saved: %s (%d verts)", path, len(vertices))
+        if self.is_main:
+            meshio.write_ply(path, vertices, triangles, vertex_colors=colors)
+            LOG.info("mesh saved: %s (%d verts)", path, len(vertices))
         if len(vertices) == 0:
             LOG.warning("extracted mesh is EMPTY: the SDF has no zero "
                         "crossing inside the bound yet (undertrained or "
@@ -1292,6 +1322,8 @@ class Runner:
         path = os.path.join(
             self.base_exp_dir, "checkpoints",
             f"ckpt_{self.current_image:06d}_{self.iter_step:06d}.ckpt")
+        if not self.is_main:  # multi-host: process 0 owns the file
+            return
         ckpt.save_checkpoint(path, self.state, host_meta)
         LOG.info("checkpoint saved: %s", path)
 
@@ -1304,6 +1336,9 @@ class Runner:
         # the PRNG key was stored as raw uint32 data
         self.state = self.state._replace(
             key=jax.random.wrap_key_data(self.state.key))
+        if jax.process_count() > 1 and getattr(self, "mesh", None) is not None:
+            from fmov_pose_tpu.parallel import dp
+            self.state = dp.replicate_tree(self.mesh, self.state)
         self.iter_step = int(meta["iter_step"])
         self.current_image = int(meta["current_image"])
         self.current_pose_mlp_index = int(meta["current_pose_mlp_index"])
@@ -1316,6 +1351,8 @@ class Runner:
                  self.current_image)
 
     def file_backup(self):
+        if not self.is_main:  # multi-host: rank 0 owns the recording copy
+            return
         rec_dir = os.path.join(self.base_exp_dir, "recording")
         os.makedirs(rec_dir, exist_ok=True)
         repo_root = os.path.dirname(os.path.dirname(

@@ -43,10 +43,60 @@ def _cpu_env(n_local_devices):
     return env
 
 
-def _parse_loss(stdout):
-    m = re.search(r"MULTIHOST_LOSS (\S+)", stdout)
-    assert m, f"no MULTIHOST_LOSS line in output:\n{stdout}"
+def _parse_loss(stdout, marker="MULTIHOST_LOSS"):
+    m = re.search(rf"{marker} (\S+)", stdout)
+    assert m, f"no {marker} line in output:\n{stdout}"
     return float(m.group(1))
+
+
+def test_runner_train_two_process(tmp_path):
+    """VERDICT r2 #7: drive the FULL Runner.train (dataset load, DP photo
+    steps, checkpoint) under 2-process jax.distributed and assert (a) the
+    loss matches a single-process 2-device control run, (b) checkpoints/
+    logs/recording are written by rank 0 only."""
+    port = _free_port()
+    cmd = [sys.executable, "-m",
+           "fmov_pose_tpu.parallel.multihost_runner_smoke"]
+    procs, outs = [], []
+    for i in range(2):
+        env = _cpu_env(1)
+        env.update(FMOV_DISTRIBUTED="1",
+                   FMOV_COORDINATOR=f"localhost:{port}",
+                   FMOV_NUM_PROCESSES="2", FMOV_PROCESS_ID=str(i))
+        procs.append(subprocess.Popen(
+            cmd + ["--workdir", str(tmp_path / f"rank{i}")], env=env,
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed (rc={p.returncode}):\n{out}"
+    multi_loss = _parse_loss(outs[0], "MULTIHOST_RUNNER_LOSS")
+
+    # rank 0 owns every host-side artifact; rank 1 writes nothing
+    r0, r1 = tmp_path / "rank0" / "exp", tmp_path / "rank1" / "exp"
+    assert list((r0 / "checkpoints").glob("*.ckpt")), "rank0 wrote no ckpt"
+    assert (r0 / "logs").is_dir(), "rank0 wrote no tensorboard logs"
+    assert (r0 / "recording").is_dir(), "rank0 wrote no recording"
+    for sub in ("checkpoints", "logs", "recording"):
+        assert not (r1 / sub).exists(), f"rank1 wrote {sub} (should be " \
+            "rank-0 only)"
+
+    # control: same run, one process, 2 virtual devices
+    single = subprocess.run(
+        cmd + ["--workdir", str(tmp_path / "single")], env=_cpu_env(2),
+        cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert single.returncode == 0, single.stdout + single.stderr
+    single_loss = _parse_loss(single.stdout, "MULTIHOST_RUNNER_LOSS")
+
+    np.testing.assert_allclose(multi_loss, single_loss, rtol=1e-3)
+    assert np.isfinite(multi_loss)
 
 
 def test_two_process_loss_matches_single_process():
