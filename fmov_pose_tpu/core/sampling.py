@@ -33,35 +33,22 @@ def merge_sorted(z_a: jnp.ndarray, z_b: jnp.ndarray,
 
     v_a/v_b: optional per-sample payloads (e.g. SDF values) carried through
     the same permutation. Returns z_merged or (z_merged, v_merged).
+
+    Implementation: XLA variadic stable sort over the concat. Unlike
+    argsort + take_along_axis this never materializes indices or gathers
+    (the payload rides the sorting network), and unlike the previous
+    one-hot-contraction merge it materializes no [B, K, K] one-hots
+    (~460 MB at the last phase-2 merge; sort measured 1.66 vs 2.04 ms at
+    [8192, 112+16] on v5e). Values pass through untouched — exact. A
+    stable sort keeps ties in concat order (all of z_a before z_b),
+    matching argsort's tie behavior; as a bonus, unsorted inputs now
+    produce a correct sorted merge instead of silent corruption.
     """
-    B, Ka = z_a.shape
-    Kb = z_b.shape[-1]
-    K = Ka + Kb
-    f32 = jnp.float32
-    # stable merge ranks: a_i goes after the b_j strictly below it;
-    # b_j goes after every a_i <= it (ties resolve a-first, like argsort
-    # over concat([a, b])).
-    pos_a = (jnp.arange(Ka)[None, :]
-             + jnp.sum(z_b[:, None, :] < z_a[:, :, None], axis=-1))
-    pos_b = (jnp.arange(Kb)[None, :]
-             + jnp.sum(z_a[:, None, :] <= z_b[:, :, None], axis=-1))
-    slots = jnp.arange(K)[None, None, :]
-    oh_a = (pos_a[:, :, None] == slots).astype(f32)        # [B, Ka, K]
-    oh_b = (pos_b[:, :, None] == slots).astype(f32)        # [B, Kb, K]
-
-    def place(a, b):
-        # One-hot entries are exact in any dtype, but the VALUE operand must
-        # not be truncated: TPU matmul default is bf16, which would corrupt
-        # merged z_vals / carried SDF payloads by ~4e-3 rel on hardware
-        # (invisible to CPU tests).  HIGHEST matches _pe_mm et al.
-        hp = jax.lax.Precision.HIGHEST
-        return (jnp.einsum("bik,bi->bk", oh_a, a, precision=hp)
-                + jnp.einsum("bjk,bj->bk", oh_b, b, precision=hp))
-
-    z = place(z_a, z_b)
+    z = jnp.concatenate([z_a, z_b], axis=-1)
     if v_a is None:
-        return z
-    return z, place(v_a, v_b)
+        return jax.lax.sort(z, dimension=-1, is_stable=True)
+    v = jnp.concatenate([v_a, v_b], axis=-1)
+    return jax.lax.sort((z, v), dimension=-1, num_keys=1, is_stable=True)
 
 
 def sample_pdf(

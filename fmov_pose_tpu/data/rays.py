@@ -24,6 +24,24 @@ __all__ = [
 ]
 
 
+def gather_pixels(frame_chw, py, px):
+    """Gather pixels [B] from one frame's channel planes [C, H, W] by a
+    factored one-hot contraction instead of indexed loads.
+
+    TPU dynamic-gather serializes (~5 ms/step for the 4 gathers of an
+    8192-ray phase-2 batch); two selection matmuls ride the MXU in
+    ~0.4 ms.  Exact, not approximate: with one-hot operands every product
+    is v*1 or v*0 and each reduction has exactly one nonzero term, and
+    precision=HIGHEST keeps the f32 value operand unsplit (TPU default
+    would truncate pixels to bf16).  Returns [B, C].
+    """
+    C, H, W = frame_chw.shape
+    oh_y = (py[:, None] == jnp.arange(H)[None, :]).astype(jnp.float32)
+    oh_x = (px[:, None] == jnp.arange(W)[None, :]).astype(jnp.float32)
+    rows = jnp.einsum("bh,chw->bcw", oh_y, frame_chw, precision=_HI)
+    return jnp.einsum("bcw,bw->bc", rows, oh_x, precision=_HI)
+
+
 def gather_rgb(images_planes, img_idx, py, px):
     """Gather pixel colors from the channel-plane image layout.
 
@@ -31,8 +49,7 @@ def gather_rgb(images_planes, img_idx, py, px):
     minor dimension of 3 (TPU tiles pad the minor dim to 128 lanes: an
     [N, H, W, 3] buffer wastes 42x HBM and bandwidth).
     """
-    return jnp.stack(
-        [images_planes[c, img_idx, py, px] for c in range(3)], axis=-1)
+    return gather_pixels(images_planes[:, img_idx], py, px)
 
 
 def pixels_to_rays(px, py, intr_inv, pose):
@@ -81,13 +98,13 @@ def gen_random_rays(key, images, masks, intr_inv_all, pose, img_idx,
     py = jax.random.randint(k_y, (batch_size,), y_lo, y_hi)
 
     color = gather_rgb(images, img_idx, py, px)  # [batch, 3]
-    mask = masks[img_idx][py, px][..., None]  # [batch, 1]
+    mask = gather_pixels(masks[img_idx][None], py, px)  # [batch, 1]
     rays_o, rays_v, p_norm = pixels_to_rays(
         px.astype(jnp.float32), py.astype(jnp.float32),
         intr_inv_all[img_idx], pose)
     if depths is not None:
         # z-depth -> ray-length depth (`dataset.py:672-676`)
-        depth = depths[img_idx][py, px][..., None] * p_norm
+        depth = gather_pixels(depths[img_idx][None], py, px) * p_norm
         return jnp.concatenate([rays_o, rays_v, color, mask, depth], axis=-1)
     return jnp.concatenate([rays_o, rays_v, color, mask], axis=-1)
 
