@@ -345,12 +345,15 @@ def color_fused_featfirst(params, cfg, pts, dirs, normals, feature):
 # cotangent each materialize 384-lane-padded (1.5 GB), the [M,3] color
 # output pads 42x, and the composite runs on [B,N,3] (minor dim 3).
 # This variant moves ALL of it in-kernel:
-#   inputs  sdf_out [M,257] (feature sliced in-kernel -> no [M,256]
-#           copy), u [M,9] = [pts|dirs|normals] (PE tail built in-kernel
-#           from the same selection matmul), weights [B,N]
+#   inputs  feat [M,256] lane-ALIGNED (f32 or bf16, straight from the
+#           rays SDF kernel), u [M,9] = [pts|dirs|normals] (PE tail
+#           built in-kernel from the same selection matmul),
+#           weights [B,N]; lin0 pre-split host-side (w0a/w0b) so the
+#           [T,289] concat never materializes
 #   outputs color [B,3] (composited over each ray's N samples in VMEM)
 # backward recomputes forward in-kernel and emits d_weights [B,N],
-# ubar [M,9], featbar [M,257] (col 0 zero) + accumulated dws/dbs.
+# ubar [M,9], featbar [M,256] aligned (feat's dtype) + accumulated
+# dws/dbs (lin0 as dw0a+dw0b, host re-concats).
 # Requires TILE % n_samples == 0 (each tile holds whole rays) and no
 # NeRF++ background mixing (render_core gates on background_alpha=None).
 # ------------------------------------------------------------------
@@ -367,15 +370,21 @@ def _materialize_ff(params, cfg, n_lin):
     return ws, bs
 
 
-def _make_ray_fwd_kernel(n_lin, n_samples, d_feat):
+def _make_ray_fwd_kernel(n_lin, n_samples):
     hp = jax.lax.Precision.HIGHEST
 
     def kernel(*refs):
-        sdf_ref, u_ref, w_ref, g_ref, f_ref, k_ref = refs[:6]
-        ws = [refs[6 + i][:] for i in range(n_lin)]
-        bs = [refs[6 + n_lin + i][:] for i in range(n_lin)]
-        out_ref = refs[6 + 2 * n_lin]
-        feat = sdf_ref[:, 1:1 + d_feat]
+        # feat arrives lane-ALIGNED [T, 256] (sliced off the raw
+        # [T, 257] sdf output it used to be: the 1-lane offset forced a
+        # full-tile lane rotation and the 257-wide f32 DMA padded to 384
+        # lanes), and lin0 is pre-split host-side into w0a [256, 256] /
+        # w0b [d_small, 256] so the [T, 289] concat never materializes.
+        feat_ref, u_ref, w_ref, g_ref, f_ref, k_ref = refs[:6]
+        w0a = refs[6][:]
+        w0b = refs[7][:]
+        ws = [refs[8 + i][:] for i in range(n_lin - 1)]
+        bs = [refs[8 + n_lin - 1 + i][:] for i in range(n_lin)]
+        out_ref = refs[7 + 2 * n_lin]
         # selection matmul is exact one-hot picks; value operand must stay
         # f32 (in-kernel jnp.dot defaults to bf16 -> 1e-3 PE drift)
         r = jnp.dot(u_ref[:], g_ref[:], precision=hp)
@@ -383,11 +392,10 @@ def _make_ray_fwd_kernel(n_lin, n_samples, d_feat):
         kind = k_ref[:]
         small = jnp.where(kind == 0.0, r,
                           jnp.where(kind == 1.0, jnp.sin(rf), jnp.cos(rf)))
-        h = jnp.concatenate([feat, small], axis=-1)
-        for l in range(n_lin):
-            h = _dot(h, ws[l]) + bs[l]
-            if l < n_lin - 1:
-                h = jnp.maximum(h, 0.0)
+        h = _dot(feat_ref[:], w0a) + _dot(small, w0b) + bs[0]
+        for l in range(1, n_lin):
+            h = jnp.maximum(h, 0.0)
+            h = _dot(h, ws[l - 1]) + bs[l]
         c = jax.nn.sigmoid(h)                       # (TILE, 3)
         rays = c.shape[0] // n_samples
         c3 = c.reshape(rays, n_samples, 3)
@@ -396,40 +404,51 @@ def _make_ray_fwd_kernel(n_lin, n_samples, d_feat):
     return kernel
 
 
-def _make_ray_bwd_kernel(n_lin, n_samples, d_feat):
+def _make_ray_bwd_kernel(n_lin, n_samples, feat_dtype):
     hp = jax.lax.Precision.HIGHEST
 
     def kernel(*refs):
-        sdf_ref, u_ref, w_ref, ct_ref, g_ref, f_ref, k_ref = refs[:7]
-        ws = [refs[7 + i][:] for i in range(n_lin)]
-        bs = [refs[7 + n_lin + i][:] for i in range(n_lin)]
-        wts = [refs[7 + 2 * n_lin + i][:] for i in range(n_lin)]
-        featbar_ref = refs[7 + 3 * n_lin]
-        ubar_ref = refs[8 + 3 * n_lin]
-        dw_ref = refs[9 + 3 * n_lin]
-        dws = [refs[10 + 3 * n_lin + i] for i in range(n_lin)]
-        dbs = [refs[10 + 4 * n_lin + i] for i in range(n_lin)]
+        # split-lin0 mirror of the fwd kernel: dws[0] leaves as
+        # dw0a [256, 256] + dw0b [d_small, 256] (host re-concats) and
+        # the feature cotangent leaves ALIGNED [T, 256] (no zero-column
+        # prepend, no lane-offset store)
+        feat_ref, u_ref, w_ref, ct_ref, g_ref, f_ref, k_ref = refs[:7]
+        w0a = refs[7][:]
+        w0b = refs[8][:]
+        ws = [refs[9 + i][:] for i in range(n_lin - 1)]
+        bs = [refs[8 + n_lin + i][:] for i in range(n_lin)]
+        w0at = refs[8 + 2 * n_lin][:]
+        w0bt = refs[9 + 2 * n_lin][:]
+        wts = [refs[10 + 2 * n_lin + i][:] for i in range(n_lin - 1)]
+        featbar_ref = refs[9 + 3 * n_lin]
+        ubar_ref = refs[10 + 3 * n_lin]
+        dw_ref = refs[11 + 3 * n_lin]
+        dw0a_ref = refs[12 + 3 * n_lin]
+        dw0b_ref = refs[13 + 3 * n_lin]
+        dws = [refs[14 + 3 * n_lin + i] for i in range(n_lin - 1)]
+        dbs = [refs[13 + 4 * n_lin + i] for i in range(n_lin)]
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
-            for l in range(n_lin):
+            dw0a_ref[:] = jnp.zeros_like(dw0a_ref)
+            dw0b_ref[:] = jnp.zeros_like(dw0b_ref)
+            for l in range(n_lin - 1):
                 dws[l][:] = jnp.zeros_like(dws[l])
+            for l in range(n_lin):
                 dbs[l][:] = jnp.zeros_like(dbs[l])
 
-        feat = sdf_ref[:, 1:1 + d_feat]
+        feat = feat_ref[:]
         r = jnp.dot(u_ref[:], g_ref[:], precision=hp)
         rf = r * f_ref[:]
         kind = k_ref[:]
         small = jnp.where(kind == 0.0, r,
                           jnp.where(kind == 1.0, jnp.sin(rf), jnp.cos(rf)))
-        xc = jnp.concatenate([feat, small], axis=-1)
-        acts = [xc]
-        h = xc
-        for l in range(n_lin):
-            h = _dot(h, ws[l]) + bs[l]
-            if l < n_lin - 1:
-                h = jnp.maximum(h, 0.0)
-                acts.append(h)
+        h = _dot(feat, w0a) + _dot(small, w0b) + bs[0]
+        acts = []
+        for l in range(1, n_lin):
+            h = jnp.maximum(h, 0.0)
+            acts.append(h)
+            h = _dot(h, ws[l - 1]) + bs[l]
         c = jax.nn.sigmoid(h)                        # (TILE, 3)
         rays = c.shape[0] // n_samples
         c3 = c.reshape(rays, n_samples, 3)
@@ -438,16 +457,16 @@ def _make_ray_bwd_kernel(n_lin, n_samples, d_feat):
         dw_ref[:] = jnp.sum(c3 * ct[:, None, :], axis=2)
         cbar = (ct[:, None, :] * w[:, :, None]).reshape(-1, 3)
         zbar = cbar * c * (1.0 - c)
-        for l in range(n_lin - 1, -1, -1):
-            dws[l][:] += _dot_acc(acts[l], zbar)
+        for l in range(n_lin - 1, 0, -1):
+            dws[l - 1][:] += _dot_acc(acts[l - 1], zbar)
             dbs[l][:] += jnp.sum(zbar, axis=0, keepdims=True)
-            ibar = _dot(zbar, wts[l])
-            if l > 0:
-                zbar = ibar * (acts[l] > 0.0).astype(jnp.float32)
-        featbar = ibar[:, :d_feat]
-        featbar_ref[:] = jnp.concatenate(
-            [jnp.zeros_like(featbar[:, :1]), featbar], axis=-1)
-        smallbar = ibar[:, d_feat:]
+            ibar = _dot(zbar, wts[l - 1])
+            zbar = ibar * (acts[l - 1] > 0.0).astype(jnp.float32)
+        dw0a_ref[:] += _dot_acc(feat, zbar)
+        dw0b_ref[:] += _dot_acc(small, zbar)
+        dbs[0][:] += jnp.sum(zbar, axis=0, keepdims=True)
+        featbar_ref[:] = _dot(zbar, w0at).astype(feat_dtype)
+        smallbar = _dot(zbar, w0bt)
         dsel = jnp.where(kind == 0.0, jnp.ones_like(rf),
                          jnp.where(kind == 1.0, jnp.cos(rf) * f_ref[:],
                                    -jnp.sin(rf) * f_ref[:]))
@@ -456,10 +475,10 @@ def _make_ray_bwd_kernel(n_lin, n_samples, d_feat):
     return kernel
 
 
-def _ray_cfg_key(cfg, n_samples, d_sdf):
+def _ray_cfg_key(cfg, n_samples, d_feat):
     return (("n_layers", cfg["n_layers"]),
             ("multires_view", cfg["multires_view"]),
-            ("n_samples", n_samples), ("d_sdf", d_sdf))
+            ("n_samples", n_samples), ("d_feat", d_feat))
 
 
 def supported_ray(cfg, n_samples: int) -> bool:
@@ -474,57 +493,61 @@ def _pad_rows(x, rows):
     return x
 
 
+def _split_lin0(ws, d_feat):
+    """lin0 [d_feat + d_small, 256] -> (w0a [d_feat, 256], w0b)."""
+    return ws[0][:d_feat], ws[0][d_feat:]
+
+
 @partial(jax.jit, static_argnames=("ck",))
-def _ray_fwd_impl(ws, bs, sdf_out, u, weights, ck):
+def _ray_fwd_impl(ws, bs, feat, u, weights, ck):
     cfg = dict(ck)
     n_lin = cfg["n_layers"] + 1
     N = cfg["n_samples"]
-    d_sdf = cfg["d_sdf"]
-    d_feat = d_sdf - 1
-    M, B = sdf_out.shape[0], weights.shape[0]
+    d_feat = cfg["d_feat"]
+    M, B = feat.shape[0], weights.shape[0]
     M_pad = M + ((-M) % TILE)
     B_pad = M_pad // N
     rays_per_tile = TILE // N
-    sdf_p = _pad_rows(sdf_out, M_pad)
+    feat_p = _pad_rows(feat, M_pad)
     u_p = _pad_rows(u, M_pad)
     w_p = _pad_rows(weights, B_pad)
     G, f, kind = (jnp.asarray(t)
                   for t in _ff_tables_np(cfg["multires_view"],
                                          9 + 6 * cfg["multires_view"]))
     grid = M_pad // TILE
+    w0a, w0b = _split_lin0(ws, d_feat)
     tile_specs = [
-        pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
+        pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
     out = pl.pallas_call(
-        _make_ray_fwd_kernel(n_lin, N, d_feat),
+        _make_ray_fwd_kernel(n_lin, N),
         grid=(grid,),
-        in_specs=tile_specs + _w_specs([G, f, kind]) + _w_specs(ws)
-        + _w_specs(bs),
+        in_specs=tile_specs + _w_specs([G, f, kind])
+        + _w_specs([w0a, w0b]) + _w_specs(ws[1:]) + _w_specs(bs),
         out_specs=pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, 3), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(sdf_p, u_p, w_p, G, f, kind, *ws, *bs)
+    )(feat_p, u_p, w_p, G, f, kind, w0a, w0b, *ws[1:], *bs)
     return out[:B]
 
 
 @partial(jax.jit, static_argnames=("ck",))
-def _ray_bwd_impl(ws, bs, sdf_out, u, weights, ct, ck):
+def _ray_bwd_impl(ws, bs, feat, u, weights, ct, ck):
     cfg = dict(ck)
     n_lin = cfg["n_layers"] + 1
     N = cfg["n_samples"]
-    d_sdf = cfg["d_sdf"]
-    d_feat = d_sdf - 1
-    M, B = sdf_out.shape[0], weights.shape[0]
+    d_feat = cfg["d_feat"]
+    M, B = feat.shape[0], weights.shape[0]
     M_pad = M + ((-M) % TILE)
     B_pad = M_pad // N
     rays_per_tile = TILE // N
-    sdf_p = _pad_rows(sdf_out, M_pad)
+    feat_p = _pad_rows(feat, M_pad)
     u_p = _pad_rows(u, M_pad)
     w_p = _pad_rows(weights, B_pad)
     ct_p = _pad_rows(ct, B_pad)
@@ -532,52 +555,57 @@ def _ray_bwd_impl(ws, bs, sdf_out, u, weights, ct, ck):
                   for t in _ff_tables_np(cfg["multires_view"],
                                          9 + 6 * cfg["multires_view"]))
     grid = M_pad // TILE
-    wts = [w.T for w in ws]
+    w0a, w0b = _split_lin0(ws, d_feat)
+    wts = [w.T for w in ws[1:]]
     in_specs = [
-        pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
+        pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-    ] + _w_specs([G, f, kind]) + _w_specs(ws) + _w_specs(bs) + _w_specs(wts)
+    ] + _w_specs([G, f, kind]) + _w_specs([w0a, w0b]) + _w_specs(ws[1:]) \
+        + _w_specs(bs) + _w_specs([w0a.T, w0b.T]) + _w_specs(wts)
     out_specs = (
-        [pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
+        [pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
                       memory_space=pltpu.VMEM),
          pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
          pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)]
-        + _w_specs(ws) + _w_specs(bs))
+        + _w_specs([w0a, w0b]) + _w_specs(ws[1:]) + _w_specs(bs))
     out_shapes = (
-        [jax.ShapeDtypeStruct((M_pad, d_sdf), jnp.float32),
+        [jax.ShapeDtypeStruct((M_pad, d_feat), feat.dtype),
          jax.ShapeDtypeStruct((M_pad, 9), jnp.float32),
          jax.ShapeDtypeStruct((B_pad, N), jnp.float32)]
-        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+        + [jax.ShapeDtypeStruct(w0a.shape, jnp.float32),
+           jax.ShapeDtypeStruct(w0b.shape, jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws[1:]]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
     outs = pl.pallas_call(
-        _make_ray_bwd_kernel(n_lin, N, d_feat),
+        _make_ray_bwd_kernel(n_lin, N, feat.dtype),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(sdf_p, u_p, w_p, ct_p, G, f, kind, *ws, *bs, *wts)
+    )(feat_p, u_p, w_p, ct_p, G, f, kind, w0a, w0b, *ws[1:], *bs,
+      w0a.T, w0b.T, *wts)
     featbar = outs[0][:M]
     ubar = outs[1][:M]
     dwgt = outs[2][:B]
-    dws = list(outs[3:3 + n_lin])
-    dbs = [b[0] for b in outs[3 + n_lin:]]
+    dw0 = jnp.concatenate([outs[3], outs[4]], axis=0)
+    dws = [dw0] + list(outs[5:4 + n_lin])
+    dbs = [b[0] for b in outs[4 + n_lin:]]
     return featbar, ubar, dwgt, dws, dbs
 
 
-def ray_reference(params, cfg, sdf_out, u, weights):
+def ray_reference(params, cfg, feat, u, weights):
     """Pure-JAX oracle with identical math (feature-first concat,
     selection-matmul PE tail, per-ray composite)."""
-    feat = sdf_out[:, 1:]
     small_in = assemble_featfirst(
-        cfg, u[:, 0:3], u[:, 3:6], u[:, 6:9], feat)
+        cfg, u[:, 0:3], u[:, 3:6], u[:, 6:9], feat.astype(jnp.float32))
     p2 = permute_params_featfirst(params, cfg)
     c = apply_from_concat(p2, cfg, small_in)
     B, N = weights.shape
@@ -585,30 +613,30 @@ def ray_reference(params, cfg, sdf_out, u, weights):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _ray_op(params, ck, sdf_out, u, weights):
+def _ray_op(params, ck, feat, u, weights):
     cfg = dict(ck)
     ws, bs = _materialize_ff(params, cfg, cfg["n_layers"] + 1)
-    return _ray_fwd_impl(ws, bs, sdf_out, u, weights, ck)
+    return _ray_fwd_impl(ws, bs, feat, u, weights, ck)
 
 
-def _ray_fwd(params, ck, sdf_out, u, weights):
-    return _ray_op(params, ck, sdf_out, u, weights), (params, sdf_out, u,
-                                                      weights)
+def _ray_fwd(params, ck, feat, u, weights):
+    return _ray_op(params, ck, feat, u, weights), (params, feat, u,
+                                                   weights)
 
 
 def _ray_bwd(ck, res, ct):
-    params, sdf_out, u, weights = res
+    params, feat, u, weights = res
     cfg = dict(ck)
     if os.environ.get("FMOV_FUSED_COLOR_BWD", "1") == "0":
         _, vjp = jax.vjp(
             lambda p, s, uu, w: ray_reference(p, cfg, s, uu, w),
-            params, sdf_out, u, weights)
+            params, feat, u, weights)
         return vjp(ct)
     n_lin = cfg["n_layers"] + 1
     (ws, bs), mat_vjp = jax.vjp(
         lambda p: _materialize_ff(p, cfg, n_lin), params)
     featbar, ubar, dwgt, dws, dbs = _ray_bwd_impl(
-        ws, bs, sdf_out, u, weights, ct, ck)
+        ws, bs, feat, u, weights, ct, ck)
     (pbar,) = mat_vjp((dws, [db[None, :] for db in dbs]))
     return pbar, featbar, ubar, dwgt
 
@@ -616,11 +644,11 @@ def _ray_bwd(ck, res, ct):
 _ray_op.defvjp(_ray_fwd, _ray_bwd)
 
 
-def color_fused_ray(params, cfg, sdf_out, u, weights):
-    """Composited fused color: sdf_out [M, 1+d_feat] (raw fused-SDF
-    output), u [M, 9] = [pts|dirs|normals], weights [B, N] (M = B*N).
-    Returns color [B, 3].  Gradients flow to params, sdf_out (feature
-    columns), u, and weights."""
+def color_fused_ray(params, cfg, feat, u, weights):
+    """Composited fused color: feat [M, d_feat] (ALIGNED fused-SDF
+    feature, f32 or bf16), u [M, 9] = [pts|dirs|normals], weights
+    [B, N] (M = B*N).  Returns color [B, 3].  Gradients flow to params,
+    feat, u, and weights (featbar keeps feat's dtype)."""
     B, N = weights.shape
-    ck = _ray_cfg_key(cfg, N, sdf_out.shape[1])
-    return _ray_op(params, ck, sdf_out, u, weights)
+    ck = _ray_cfg_key(cfg, N, feat.shape[1])
+    return _ray_op(params, ck, feat, u, weights)

@@ -660,21 +660,29 @@ def _sdf_bwd_impl(ws, bs, x, ybar, gbar_inp, cfg_key):
 # ------------------------------------------------------------------
 
 
-def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples):
+def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, feat_dtype):
     skip_in = tuple(cfg.get("skip_in", (4,)))
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     hp = jax.lax.Precision.HIGHEST
 
     def kernel(*refs):
+        # weights arrive with the LAST layer pre-split host-side into
+        # w_feat [256, d_out-1] / b_feat and the sdf column w_last_col
+        # [1, 256] / b_sdf [1, 1]: the feature then leaves the kernel as
+        # an ALIGNED [T, 256] block (a [T, 257] out forces a lane-offset
+        # slice in every consumer and pads its DMA tiles 257->384 lanes)
         xs_ref = refs[0]
         g_ref, f_ref, k_ref = refs[1], refs[2], refs[3]
-        ws = [refs[4 + i][:] for i in range(n_lin)]
-        bs = [refs[4 + n_lin + i][:] for i in range(n_lin)]
-        wts = [refs[4 + 2 * n_lin + i][:] for i in range(n_lin - 1)]
-        w_last_col = refs[3 + 3 * n_lin][:]
-        out_ref = refs[4 + 3 * n_lin]
-        sdfbn_ref = refs[5 + 3 * n_lin]
-        grad_ref = refs[6 + 3 * n_lin]
+        ws = [refs[4 + i][:] for i in range(n_lin - 1)]
+        w_feat = refs[3 + n_lin][:]
+        bs = [refs[4 + n_lin + i][:] for i in range(n_lin - 1)]
+        b_feat = refs[3 + 2 * n_lin][:]
+        b_sdf = refs[4 + 2 * n_lin][:]
+        wts = [refs[5 + 2 * n_lin + i][:] for i in range(n_lin - 1)]
+        w_last_col = refs[4 + 3 * n_lin][:]
+        feat_ref = refs[5 + 3 * n_lin]
+        sdfbn_ref = refs[6 + 3 * n_lin]
+        grad_ref = refs[7 + 3 * n_lin]
 
         scale = cfg.get("scale", 1.0)
         xs_s = xs_ref[:] * scale
@@ -683,21 +691,25 @@ def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples):
 
         h = xe
         sigs = []
-        for l in range(n_lin):
+        for l in range(n_lin - 1):
             inp = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
                    if l in skip_in else h)
             z = _dot(inp, ws[l]) + bs[l]
-            if l < n_lin - 1:
-                h, sig = _act_pair(z)
-                sigs.append(sig)
-            else:
-                h = z
-        out = jnp.concatenate([h[:, :1] / scale, h[:, 1:]], axis=-1)
-        out_ref[:] = out
-        O, Smask = _ray_onehots(out.shape[0], n_samples)
-        # sdf_bn[r, j] = out[r*N + j, 0]: exact one-hot contraction
+            h, sig = _act_pair(z)
+            sigs.append(sig)
+        inp_last = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
+                    if (n_lin - 1) in skip_in else h)
+        feat_ref[:] = (_dot(inp_last, w_feat) + b_feat).astype(feat_dtype)
+        # sdf via the same bf16 contraction the fused [256,257] matmul
+        # used for its column 0 (w_last_col is [1, 256]: contract lanes)
+        sdf_col = (jax.lax.dot_general(
+            inp_last.astype(jnp.bfloat16), w_last_col.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            + b_sdf) / scale
+        O, Smask = _ray_onehots(inp_last.shape[0], n_samples)
+        # sdf_bn[r, j] = sdf_col[r*N + j, 0]: exact one-hot contraction
         sdfbn_ref[:] = jax.lax.dot_general(
-            O, out[:, :1] * Smask, (((0,), (0,)), ((), ())),
+            O, sdf_col * Smask, (((0,), (0,)), ((), ())),
             precision=hp, preferred_element_type=jnp.float32)
 
         delta = jnp.broadcast_to(
@@ -722,22 +734,40 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
     S = skip_in[0] if skip_in else -1
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     hp = jax.lax.Precision.HIGHEST
+    L = n_lin - 1   # hidden linears; the last layer arrives SPLIT
 
     def kernel(*refs):
-        xs_ref, ctout_ref, ctsdf_ref, ctgrad_ref = refs[:4]
+        # Last layer is handled in split form (w_feat / w_last_col), so
+        # no [T, 257] ybar concat, no wasted last-layer matmul in the
+        # forward recompute, and the feature cotangent arrives as an
+        # ALIGNED [T, 256] block.  Weight grads for it leave as
+        # dwfeat [256, 256] + dwcolT [1, 256] (the column grad
+        # TRANSPOSED: both Phase A's col_bar and Phase B's sum(inp*ct0)
+        # are naturally [1, 256] rows — the host re-assembles).
+        xs_ref, ctfeat_ref, ctsdf_ref, ctgrad_ref = refs[:4]
         g_ref, f_ref, k_ref = refs[4], refs[5], refs[6]
-        ws = [refs[7 + i][:] for i in range(n_lin)]
-        bs = [refs[7 + n_lin + i][:] for i in range(n_lin)]
-        wts = [refs[7 + 2 * n_lin + i][:] for i in range(n_lin)]
-        xsbar_ref = refs[7 + 3 * n_lin]
-        dws = [refs[8 + 3 * n_lin + i] for i in range(n_lin)]
-        dbs = [refs[8 + 4 * n_lin + i] for i in range(n_lin)]
+        ws = [refs[7 + i][:] for i in range(L)]
+        bs = [refs[7 + L + i][:] for i in range(L)]
+        wts = [refs[7 + 2 * L + i][:] for i in range(L)]
+        wfeat_t_ref = refs[7 + 3 * L]
+        w_last_col = refs[8 + 3 * L][:]
+        xsbar_ref = refs[9 + 3 * L]
+        dws = [refs[10 + 3 * L + i] for i in range(L)]
+        dwfeat_ref = refs[10 + 4 * L]
+        dwcolt_ref = refs[11 + 4 * L]
+        dbs = [refs[12 + 4 * L + i] for i in range(L)]
+        dbfeat_ref = refs[12 + 5 * L]
+        dbsdf_ref = refs[13 + 5 * L]
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
-            for l in range(n_lin):
+            for l in range(L):
                 dws[l][:] = jnp.zeros_like(dws[l])
                 dbs[l][:] = jnp.zeros_like(dbs[l])
+            dwfeat_ref[:] = jnp.zeros_like(dwfeat_ref)
+            dwcolt_ref[:] = jnp.zeros_like(dwcolt_ref)
+            dbfeat_ref[:] = jnp.zeros_like(dbfeat_ref)
+            dbsdf_ref[:] = jnp.zeros_like(dbsdf_ref)
 
         scale = cfg.get("scale", 1.0)
         xs_s = xs_ref[:] * scale
@@ -746,36 +776,34 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
         jac = pe.jac()
         T = xe.shape[0]
 
-        ct_out = ctout_ref[:]
+        ct_feat = ctfeat_ref[:].astype(jnp.float32)
         # ct_sdf [R, N] -> flat column [T, 1] via exact one-hot dots
         O, Smask = _ray_onehots(T, n_samples)
-        ct_sdf = jnp.sum(
+        ct0 = jnp.sum(
             jnp.dot(O, ctsdf_ref[:], precision=hp) * Smask,
-            axis=1, keepdims=True)
+            axis=1, keepdims=True) / scale
         ct_grad = ctgrad_ref[:]
-        ybar = jnp.concatenate(
-            [(ct_out[:, :1] + ct_sdf) / scale, ct_out[:, 1:]], axis=-1)
         ct_grad_G = jnp.dot(ct_grad, g_ref[:], precision=hp)
         gbar = ct_grad_G * jac                      # pe_jvp(xs, ct_grad)
 
-        # forward, storing activations and sigmoids
+        # forward, storing activations and sigmoids (hidden layers only:
+        # the split form never needs the last pre-activation)
         acts = []
         sigs = []
         h = xe
-        for l in range(n_lin):
+        for l in range(L):
             inp = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
                    if l == S else h)
             z = _dot(inp, ws[l]) + bs[l]
-            if l < n_lin - 1:
-                h, sig = _act_pair(z)
-                acts.append(h)
-                sigs.append(sig)
+            h, sig = _act_pair(z)
+            acts.append(h)
+            sigs.append(sig)
 
         # primal gradient chain, storing d_l and the full xe-cotangent
         # (d_inputs, needed for the PE second-derivative term)
         ds = [None] * n_lin
         ds[n_lin - 1] = jnp.broadcast_to(
-            wts[n_lin - 1][0:1, :], (T, wts[n_lin - 1].shape[1]))
+            w_last_col, (T, w_last_col.shape[1]))
         d_inputs = jnp.zeros_like(xe)
         for l in range(n_lin - 2, -1, -1):
             e = ds[l + 1] * sigs[l]
@@ -791,7 +819,7 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
         # Phase A: reverse the gradient chain (ascend l)
         zbar_chain = [None] * n_lin
         dbar = gbar
-        for l in range(0, n_lin - 1):
+        for l in range(0, L):
             if l == S:
                 fbar = jnp.concatenate(
                     [dbar * inv_sqrt2, gbar * inv_sqrt2], axis=-1)
@@ -806,18 +834,29 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
             dbar = ebar * sp
             spp = 100.0 * sp * (1.0 - sp)
             zbar_chain[l] = ebar * ds[l + 1] * spp
-        col_bar = jnp.sum(dbar, axis=0, keepdims=True)
-        onehot = (jax.lax.broadcasted_iota(
-            jnp.int32, (1, ws[n_lin - 1].shape[1]), 1) == 0).astype(
-            jnp.float32)
-        dws[n_lin - 1][:] += jax.lax.dot_general(
-            col_bar, onehot, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dwcolt_ref[:] += jnp.sum(dbar, axis=0, keepdims=True)
 
-        # Phase B: reverse the forward chain (descend l)
+        # Phase B: reverse the forward chain, last (split) layer first
+        inp_last = (jnp.concatenate([acts[L - 1], xe], axis=-1) * inv_sqrt2
+                    if L == S else acts[L - 1])
+        dwfeat_ref[:] += jax.lax.dot_general(
+            inp_last.astype(jnp.bfloat16), ct_feat.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dwcolt_ref[:] += jnp.sum(inp_last * ct0, axis=0, keepdims=True)
+        dbfeat_ref[:] += jnp.sum(ct_feat, axis=0, keepdims=True)
+        dbsdf_ref[:] += jnp.sum(ct0, axis=0, keepdims=True)
+        inpbar = _dot(ct_feat, wfeat_t_ref[:]) + ct0 * w_last_col
         xebar = jnp.zeros_like(xe)
-        zbar = ybar
-        for l in range(n_lin - 1, -1, -1):
+        if L == S:
+            h_dim = inpbar.shape[1] - xe.shape[1]
+            xebar = xebar + inpbar[:, h_dim:] * inv_sqrt2
+            ibar = inpbar[:, :h_dim] * inv_sqrt2
+        else:
+            ibar = inpbar
+        zbar = ibar * sigs[L - 1] + (zbar_chain[L - 1]
+                                     if zbar_chain[L - 1] is not None
+                                     else 0.0)
+        for l in range(L - 1, -1, -1):
             if l == 0:
                 inp = xe
             else:
@@ -850,11 +889,21 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
     return kernel
 
 
+# dtype of the [M, d_feat] feature crossing to the color kernel.  bf16
+# is BIT-IDENTICAL downstream: the color kernel's first matmul casts its
+# operand to bf16 anyway, so rounding at the store equals rounding at
+# the load — and the tensor is ~1 GB/step at 1M samples (f32), the
+# single largest HBM crossing left on the fused path.
+FEAT_DTYPE = (jnp.bfloat16
+              if os.environ.get("FMOV_FEAT_BF16", "1") == "1"
+              else jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
 def _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples):
     cfg = dict(cfg_key)
     n_lin = len(ws)
-    d_out = cfg["d_out"]
+    d_feat = cfg["d_out"] - 1
     xs, n = _pad_to_tile(x)
     grid = xs.shape[0] // TILE
     rays_per_tile = TILE // n_samples
@@ -862,19 +911,26 @@ def _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples):
     (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
     wts = [w.T for w in ws[:-1]]
     w_last_col = ws[-1][:, 0][None, :]
-    kernel = _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples)
-    out, sdf_bn, grad = pl.pallas_call(
+    w_feat = ws[-1][:, 1:]
+    b_feat = bs[-1][:, 1:]
+    b_sdf = bs[-1][:, :1]
+    ws_in = list(ws[:-1]) + [w_feat]
+    bs_in = list(bs[:-1]) + [b_feat]
+    kernel = _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, FEAT_DTYPE)
+    feat, sdf_bn, grad = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec((TILE, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
-        + table_specs + _weight_specs(ws, bs)
+        + table_specs + _weight_specs(ws_in, bs_in)
+        + [pl.BlockSpec(b_sdf.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for w in wts]
         + [pl.BlockSpec(w_last_col.shape, lambda i: (0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((TILE, d_out), lambda i: (i, 0),
+            pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -882,24 +938,25 @@ def _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((xs.shape[0], d_out), jnp.float32),
+            jax.ShapeDtypeStruct((xs.shape[0], d_feat), FEAT_DTYPE),
             jax.ShapeDtypeStruct((b_pad, n_samples), jnp.float32),
             jax.ShapeDtypeStruct((xs.shape[0], 3), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(xs, G, f, kind, *ws, *bs, *wts, w_last_col)
-    return out[:n], sdf_bn[:n // n_samples], grad[:n]
+    )(xs, G, f, kind, *ws_in, *bs_in, b_sdf, *wts, w_last_col)
+    return feat[:n], sdf_bn[:n // n_samples], grad[:n]
 
 
 @partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
-def _sdf_bwd_rays_impl(ws, bs, x, ct_out, ct_sdf, ct_grad, cfg_key,
+def _sdf_bwd_rays_impl(ws, bs, x, ct_feat, ct_sdf, ct_grad, cfg_key,
                        n_samples):
     cfg = dict(cfg_key)
     n_lin = len(ws)
-    d_out = cfg["d_out"]
+    L = n_lin - 1
+    d_feat = cfg["d_out"] - 1
     xs, n = _pad_to_tile(x)
-    ctout_p, _ = _pad_to_tile(ct_out)
+    ctfeat_p, _ = _pad_to_tile(ct_feat)
     ctgrad_p, _ = _pad_to_tile(ct_grad)
     b_pad = xs.shape[0] // n_samples
     ct_sdf_p = ct_sdf
@@ -910,42 +967,58 @@ def _sdf_bwd_rays_impl(ws, bs, x, ct_out, ct_sdf, ct_grad, cfg_key,
     grid = xs.shape[0] // TILE
     rays_per_tile = TILE // n_samples
     (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
-    wts = [w.T for w in ws]
+    ws_h, bs_h = list(ws[:-1]), list(bs[:-1])
+    wts = [w.T for w in ws_h]
+    wfeat_t = ws[-1][:, 1:].T
+    w_last_col = ws[-1][:, 0][None, :]
     kernel = _make_bwd_rays_kernel(cfg, n_lin, n_samples)
+    d_hid = ws[-1].shape[0]
     out_shapes = (
         [jax.ShapeDtypeStruct((xs.shape[0], 3), jnp.float32)]
-        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
-        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
-    out_specs = (
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_h]
+        + [jax.ShapeDtypeStruct((d_hid, d_feat), jnp.float32),
+           jax.ShapeDtypeStruct((1, d_hid), jnp.float32)]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs_h]
+        + [jax.ShapeDtypeStruct((1, d_feat), jnp.float32),
+           jax.ShapeDtypeStruct((1, 1), jnp.float32)])
+    out_specs = tuple(
         [pl.BlockSpec((TILE, 3), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)]
-        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-           for w in ws]
-        + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-           for b in bs])
+        + [pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for s in out_shapes[1:]])
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec((TILE, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((TILE, d_out), lambda i: (i, 0),
+                  pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((TILE, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)]
-        + table_specs + _weight_specs(ws, bs)
+        + table_specs + _weight_specs(ws_h, bs_h)
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-           for w in wts],
-        out_specs=tuple(out_specs),
+           for w in wts]
+        + [pl.BlockSpec(wfeat_t.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec(w_last_col.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=out_specs,
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(xs, ctout_p, ct_sdf_p, ctgrad_p, G, f, kind, *ws, *bs, *wts)
+    )(xs, ctfeat_p, ct_sdf_p, ctgrad_p, G, f, kind, *ws_h, *bs_h, *wts,
+      wfeat_t, w_last_col)
     xbar = outs[0][:n]
-    dws = list(outs[1:1 + n_lin])
-    dbs = [b[0] for b in outs[1 + n_lin:]]
-    return xbar, dws, dbs
+    dws = list(outs[1:1 + L])
+    dwfeat, dwcolt = outs[1 + L], outs[2 + L]
+    dbs_h = [b[0] for b in outs[3 + L:3 + 2 * L]]
+    dbfeat, dbsdf = outs[3 + 2 * L], outs[4 + 2 * L]
+    # re-assemble the reference-shaped last-layer grads
+    dws.append(jnp.concatenate([dwcolt.T, dwfeat], axis=1))
+    dbs_h.append(jnp.concatenate([dbsdf, dbfeat], axis=1)[0])
+    return xbar, dws, dbs_h
 
 
 def _cfg_key(cfg):
@@ -1090,7 +1163,7 @@ def _sdf_rays_fwd(params, cfg_key, x, n_samples):
 
 def _sdf_rays_bwd(cfg_key, n_samples, res, cts):
     params, x = res
-    ct_out, ct_sdf, ct_grad = cts
+    ct_feat, ct_sdf, ct_grad = cts
     if os.environ.get("FMOV_FUSED_BWD", "1") == "0":
         # XLA reference oracle through the unfused nets
         cfg = dict(cfg_key)
@@ -1099,14 +1172,14 @@ def _sdf_rays_bwd(cfg_key, n_samples, res, cts):
             out = nets.sdf_apply(p, cfg, pts)
             grad = nets.sdf_gradient(p, cfg, pts)
             sdf_bn = out[:, 0].reshape(-1, n_samples)
-            return out, sdf_bn, grad
+            return out[:, 1:].astype(FEAT_DTYPE), sdf_bn, grad
 
         _, vjp = jax.vjp(ref, params, x)
-        return vjp((ct_out, ct_sdf, ct_grad))
+        return vjp((ct_feat, ct_sdf, ct_grad))
     (ws, bs), mat_vjp = jax.vjp(
         lambda p: _materialize(p, dict(cfg_key)), params)
     xbar, dws, dbs = _sdf_bwd_rays_impl(
-        ws, bs, x, ct_out, ct_sdf, ct_grad, cfg_key, n_samples)
+        ws, bs, x, ct_feat, ct_sdf, ct_grad, cfg_key, n_samples)
     (pbar,) = mat_vjp((dws, [db[None, :] for db in dbs]))
     return pbar, xbar
 
@@ -1115,9 +1188,11 @@ _sdf_rays_op.defvjp(_sdf_rays_fwd, _sdf_rays_bwd)
 
 
 def sdf_apply_grad_fused_rays(params, cfg, x, n_samples: int):
-    """(out [M, d_out], sdf_bn [M//n_samples, n_samples], grad [M, 3])
-    with PE and every PE-derivative chain fused in-kernel, and the
-    backward taking naturally-shaped split cotangents.  Requires
+    """(feat [M, d_out-1], sdf_bn [M//n_samples, n_samples], grad [M, 3])
+    with PE and every PE-derivative chain fused in-kernel, the last layer
+    split so the feature leaves lane-ALIGNED (FEAT_DTYPE, bf16 by
+    default — bit-identical to the color kernel's own bf16 cast), and
+    the backward taking naturally-shaped split cotangents.  Requires
     TILE % n_samples == 0 (each tile holds whole rays)."""
     return _sdf_rays_op(params, _cfg_key(cfg), x, n_samples)
 

@@ -171,12 +171,16 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         from fmov_pose_tpu.ops import fused_sdf
         if fused_sdf.supported_rays(sdf_cfg, n_samples, pts.shape[0]):
             # rays variant (round 3): PE + its derivative chains live
-            # in-kernel and the sdf scalar comes out [B, N] directly, so
-            # the [M,39] xe/pe-vjp passes and the [M,257] cotangent
-            # assembly never touch HBM (~30 ms/step at 1M samples)
-            sdf_nn, sdf_bn_direct, gradients = \
+            # in-kernel, the sdf scalar comes out [B, N] directly, and
+            # the feature leaves lane-ALIGNED [M, 256] (bf16 by default
+            # — the color kernel's first matmul casts to bf16 anyway),
+            # so the [M,39] xe/pe-vjp passes, the [M,257] cotangent
+            # assembly and the 257->384-lane padded feature DMAs never
+            # touch HBM (~30 ms/step at 1M samples)
+            feat_direct, sdf_bn_direct, gradients = \
                 fused_sdf.sdf_apply_grad_fused_rays(
                     params["sdf"], sdf_cfg, pts, n_samples)
+            sdf_nn = None
         else:
             sdf_nn, gradients = fused_sdf.sdf_apply_grad_fused(
                 params["sdf"], sdf_cfg, pts)
@@ -194,9 +198,10 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         sdf_nn, gradients = jax.checkpoint(_sdf_block)(params["sdf"], pts)
     if sdf_bn_direct is not None:
         sdf = sdf_bn_direct.reshape(-1, 1)
+        feature = feat_direct
     else:
         sdf = sdf_nn[:, :1]
-    feature = sdf_nn[:, 1:]
+        feature = sdf_nn[:, 1:]
     if eval_mode:
         gradients = jax.lax.stop_gradient(gradients)
 
@@ -291,7 +296,7 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         from fmov_pose_tpu.ops import fused_color
         u = jnp.concatenate([pts, dirs, gradients], axis=-1)
         color = fused_color.color_fused_ray(
-            params["color"], color_cfg, sdf_nn, u, weights)
+            params["color"], color_cfg, feature, u, weights)
     else:
         color = (sampled_color * weights[..., None]).sum(axis=1)
     if background_rgb is not None:

@@ -58,13 +58,13 @@ def test_ray_op_matches_oracle(fc, weight_norm):
     B, N = 6, 8           # M=48 -> pads to 3 tiles of 16 + row padding
     M = B * N
     params = _params(rng, d_feat + d_small, 24, n_layers + 1, weight_norm)
-    sdf_out = jnp.asarray(rng.normal(size=(M, 1 + d_feat)), jnp.float32)
+    feat = jnp.asarray(rng.normal(size=(M, d_feat)), jnp.float32)
     u = jnp.asarray(rng.normal(size=(M, 9)), jnp.float32)
     weights = jnp.asarray(rng.random((B, N)), jnp.float32)
 
     assert fc.supported_ray(cfg, N)
-    got = fc.color_fused_ray(params, cfg, sdf_out, u, weights)
-    want = fc.ray_reference(params, cfg, sdf_out, u, weights)
+    got = fc.color_fused_ray(params, cfg, feat, u, weights)
+    want = fc.ray_reference(params, cfg, feat, u, weights)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
     def loss_k(p, s, uu, w):
@@ -75,16 +75,14 @@ def test_ray_op_matches_oracle(fc, weight_norm):
         out = fc.ray_reference(p, cfg, s, uu, w)
         return (out * jnp.arange(out.size).reshape(out.shape)).sum()
 
-    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(params, sdf_out, u, weights)
-    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(params, sdf_out, u, weights)
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(params, feat, u, weights)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(params, feat, u, weights)
 
     # params (incl. weight-norm v/g), feature, u, weights cotangents
     flat_k, _ = jax.tree_util.tree_flatten(gk[0])
     flat_r, _ = jax.tree_util.tree_flatten(gr[0])
     for a, b in zip(flat_k, flat_r):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
-    # sdf_out col 0 gets no cotangent from the color op
-    np.testing.assert_allclose(gk[1][:, 0], 0.0, atol=0)
     np.testing.assert_allclose(gk[1], gr[1], atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(gk[2], gr[2], atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(gk[3], gr[3], atol=1e-4, rtol=1e-4)
@@ -101,6 +99,9 @@ def test_render_core_ray_path_matches_xla(fc, monkeypatch):
     monkeypatch.setattr(fc, "MIN_SAMPLES", 0)
     monkeypatch.setattr(fused_sdf, "TILE", 32)
     monkeypatch.setattr(fused_sdf, "MIN_SAMPLES_RAYS", 0)
+    # keep the feature crossing f32 for the structural comparison (the
+    # bf16 default is validated at production widths on chip)
+    monkeypatch.setattr(fused_sdf, "FEAT_DTYPE", jnp.float32)
     hp = jax.lax.Precision.HIGHEST
     monkeypatch.setattr(fused_sdf, "_dot",
                         lambda a, b: jnp.dot(a, b, precision=hp))
@@ -151,9 +152,9 @@ def test_ray_op_unpadded_single_tile(fc):
     B, N = 2, 8           # M=16 == TILE exactly (no padding)
     M = B * N
     params = _params(rng, d_feat + 9 + 6 * L, 16, n_layers + 1, True)
-    sdf_out = jnp.asarray(rng.normal(size=(M, 1 + d_feat)), jnp.float32)
+    feat = jnp.asarray(rng.normal(size=(M, d_feat)), jnp.float32)
     u = jnp.asarray(rng.normal(size=(M, 9)), jnp.float32)
     weights = jnp.asarray(rng.random((B, N)), jnp.float32)
-    got = fc.color_fused_ray(params, cfg, sdf_out, u, weights)
-    want = fc.ray_reference(params, cfg, sdf_out, u, weights)
+    got = fc.color_fused_ray(params, cfg, feat, u, weights)
+    want = fc.ray_reference(params, cfg, feat, u, weights)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
