@@ -137,7 +137,32 @@ def time_steps(photo_step, state, packed, warmup=5, iters=30):
     return iters / dt, state
 
 
+def _probe_device(timeout_s=180):
+    """Fail FAST if the device is unreachable instead of hanging forever.
+
+    The axon pool claim can wedge (a client killed mid-claim upstream
+    blocks the grant queue); when it does, even ``jax.devices()`` blocks
+    indefinitely, which would hang the whole bench run.  Probe in a
+    subprocess with a hard timeout so a wedged tunnel produces a clear
+    error line instead of a stall."""
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()"],
+            timeout=timeout_s, capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        raise SystemExit(
+            "bench: device unreachable (pool claim wedged or tunnel down);"
+            " refusing to hang — retry once the backend recovers")
     best = 0.0
     details = {}
     for batch, fused, phase2, occ in (
