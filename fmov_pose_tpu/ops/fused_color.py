@@ -370,6 +370,22 @@ def _materialize_ff(params, cfg, n_lin):
     return ws, bs
 
 
+def _build_u(o_ref, d_ref, z_ref, g3_ref, n_samples, hp):
+    """u [T, 9] = [pts | dirs | normals] from per-ray geometry + grad
+    planes, in-kernel (the [M, 9] array this replaces pads 9 -> 128
+    lanes in HBM: 512 MB at 1M samples)."""
+    from fmov_pose_tpu.ops.fused_sdf import (
+        _ray_onehots, _flat_from_ray, _build_xs)
+    T = n_samples * z_ref.shape[0]
+    O, Smask = _ray_onehots(T, n_samples)
+    pts, d_t, z_flat = _build_xs(o_ref, d_ref, z_ref, O, Smask, hp)
+    normals = jnp.concatenate(
+        [_flat_from_ray(O, Smask, g3_ref[c], hp) for c in range(3)],
+        axis=-1)
+    return jnp.concatenate([pts, d_t, normals], axis=-1), \
+        (O, Smask, d_t, z_flat)
+
+
 def _make_ray_fwd_kernel(n_lin, n_samples):
     hp = jax.lax.Precision.HIGHEST
 
@@ -377,17 +393,21 @@ def _make_ray_fwd_kernel(n_lin, n_samples):
         # feat arrives lane-ALIGNED [T, 256] (sliced off the raw
         # [T, 257] sdf output it used to be: the 1-lane offset forced a
         # full-tile lane rotation and the 257-wide f32 DMA padded to 384
-        # lanes), and lin0 is pre-split host-side into w0a [256, 256] /
-        # w0b [d_small, 256] so the [T, 289] concat never materializes.
-        feat_ref, u_ref, w_ref, g_ref, f_ref, k_ref = refs[:6]
-        w0a = refs[6][:]
-        w0b = refs[7][:]
-        ws = [refs[8 + i][:] for i in range(n_lin - 1)]
-        bs = [refs[8 + n_lin - 1 + i][:] for i in range(n_lin)]
-        out_ref = refs[7 + 2 * n_lin]
+        # lanes), lin0 is pre-split host-side into w0a [256, 256] /
+        # w0b [d_small, 256] so the [T, 289] concat never materializes,
+        # and the geometry arrives per-ray (pts/dirs/normals built
+        # in-kernel from o/d/z + g3 planes: no 42x-padded [M, 9] DMA).
+        feat_ref, o_ref, d_ref, z_ref, g3_ref, w_ref = refs[:6]
+        g_ref, f_ref, k_ref = refs[6], refs[7], refs[8]
+        w0a = refs[9][:]
+        w0b = refs[10][:]
+        ws = [refs[11 + i][:] for i in range(n_lin - 1)]
+        bs = [refs[10 + n_lin + i][:] for i in range(n_lin)]
+        out_ref = refs[10 + 2 * n_lin]
+        u, _ = _build_u(o_ref, d_ref, z_ref, g3_ref, n_samples, hp)
         # selection matmul is exact one-hot picks; value operand must stay
         # f32 (in-kernel jnp.dot defaults to bf16 -> 1e-3 PE drift)
-        r = jnp.dot(u_ref[:], g_ref[:], precision=hp)
+        r = jnp.dot(u, g_ref[:], precision=hp)
         rf = r * f_ref[:]
         kind = k_ref[:]
         small = jnp.where(kind == 0.0, r,
@@ -409,24 +429,30 @@ def _make_ray_bwd_kernel(n_lin, n_samples, feat_dtype):
 
     def kernel(*refs):
         # split-lin0 mirror of the fwd kernel: dws[0] leaves as
-        # dw0a [256, 256] + dw0b [d_small, 256] (host re-concats) and
-        # the feature cotangent leaves ALIGNED [T, 256] (no zero-column
-        # prepend, no lane-offset store)
-        feat_ref, u_ref, w_ref, ct_ref, g_ref, f_ref, k_ref = refs[:7]
-        w0a = refs[7][:]
-        w0b = refs[8][:]
-        ws = [refs[9 + i][:] for i in range(n_lin - 1)]
-        bs = [refs[8 + n_lin + i][:] for i in range(n_lin)]
-        w0at = refs[8 + 2 * n_lin][:]
-        w0bt = refs[9 + 2 * n_lin][:]
-        wts = [refs[10 + 2 * n_lin + i][:] for i in range(n_lin - 1)]
-        featbar_ref = refs[9 + 3 * n_lin]
-        ubar_ref = refs[10 + 3 * n_lin]
-        dw_ref = refs[11 + 3 * n_lin]
-        dw0a_ref = refs[12 + 3 * n_lin]
-        dw0b_ref = refs[13 + 3 * n_lin]
-        dws = [refs[14 + 3 * n_lin + i] for i in range(n_lin - 1)]
-        dbs = [refs[13 + 4 * n_lin + i] for i in range(n_lin)]
+        # dw0a [256, 256] + dw0b [d_small, 256] (host re-concats), the
+        # feature cotangent leaves ALIGNED [T, 256] (no zero-column
+        # prepend, no lane-offset store), and the geometry cotangent
+        # leaves as per-ray reductions through pts = o + d*z
+        # (obar/dbar [R, 3], zbar [R, N], g3bar planes [3, R, N])
+        feat_ref, o_ref, d_ref, z_ref, g3_ref, w_ref, ct_ref = refs[:7]
+        g_ref, f_ref, k_ref = refs[7], refs[8], refs[9]
+        w0a = refs[10][:]
+        w0b = refs[11][:]
+        ws = [refs[12 + i][:] for i in range(n_lin - 1)]
+        bs = [refs[11 + n_lin + i][:] for i in range(n_lin)]
+        w0at = refs[11 + 2 * n_lin][:]
+        w0bt = refs[12 + 2 * n_lin][:]
+        wts = [refs[13 + 2 * n_lin + i][:] for i in range(n_lin - 1)]
+        featbar_ref = refs[12 + 3 * n_lin]
+        obar_ref = refs[13 + 3 * n_lin]
+        dbar_ref = refs[14 + 3 * n_lin]
+        zraybar_ref = refs[15 + 3 * n_lin]
+        g3bar_ref = refs[16 + 3 * n_lin]
+        dw_ref = refs[17 + 3 * n_lin]
+        dw0a_ref = refs[18 + 3 * n_lin]
+        dw0b_ref = refs[19 + 3 * n_lin]
+        dws = [refs[20 + 3 * n_lin + i] for i in range(n_lin - 1)]
+        dbs = [refs[19 + 4 * n_lin + i] for i in range(n_lin)]
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
@@ -438,7 +464,9 @@ def _make_ray_bwd_kernel(n_lin, n_samples, feat_dtype):
                 dbs[l][:] = jnp.zeros_like(dbs[l])
 
         feat = feat_ref[:]
-        r = jnp.dot(u_ref[:], g_ref[:], precision=hp)
+        u, (O, Smask, d_t, z_flat) = _build_u(
+            o_ref, d_ref, z_ref, g3_ref, n_samples, hp)
+        r = jnp.dot(u, g_ref[:], precision=hp)
         rf = r * f_ref[:]
         kind = k_ref[:]
         small = jnp.where(kind == 0.0, r,
@@ -470,7 +498,22 @@ def _make_ray_bwd_kernel(n_lin, n_samples, feat_dtype):
         dsel = jnp.where(kind == 0.0, jnp.ones_like(rf),
                          jnp.where(kind == 1.0, jnp.cos(rf) * f_ref[:],
                                    -jnp.sin(rf) * f_ref[:]))
-        ubar_ref[:] = jnp.dot(smallbar * dsel, g_ref[:].T, precision=hp)
+        ubar = jnp.dot(smallbar * dsel, g_ref[:].T, precision=hp)
+        # split and reduce per-ray through pts = o + d*z
+        from fmov_pose_tpu.ops.fused_sdf import _ray_from_flat
+        ptsbar = ubar[:, 0:3]
+        dirsbar = ubar[:, 3:6]
+        obar_ref[:] = jax.lax.dot_general(
+            O, ptsbar, (((0,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=jnp.float32)
+        dbar_ref[:] = jax.lax.dot_general(
+            O, ptsbar * z_flat + dirsbar, (((0,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=jnp.float32)
+        s = jnp.sum(ptsbar * d_t, axis=1, keepdims=True)
+        zraybar_ref[:] = _ray_from_flat(O, Smask, s, hp)
+        for c_i in range(3):
+            g3bar_ref[c_i] = _ray_from_flat(
+                O, Smask, ubar[:, 6 + c_i:7 + c_i], hp)
 
     return kernel
 
@@ -498,86 +541,102 @@ def _split_lin0(ws, d_feat):
     return ws[0][:d_feat], ws[0][d_feat:]
 
 
+def _pad_ray_inputs(feat, o, d, z, g3, weights, rays_per_tile, N):
+    B = weights.shape[0]
+    b_pad = B + ((-B) % rays_per_tile)
+    m_pad = b_pad * N
+    feat = _pad_rows(feat, m_pad)
+    o = _pad_rows(o, b_pad)
+    d = _pad_rows(d, b_pad)
+    z = _pad_rows(z, b_pad)
+    w = _pad_rows(weights, b_pad)
+    if g3.shape[1] != b_pad:
+        g3 = jnp.concatenate(
+            [g3, jnp.zeros((3, b_pad - g3.shape[1], N), g3.dtype)], 1)
+    return feat, o, d, z, g3, w, b_pad, m_pad
+
+
 @partial(jax.jit, static_argnames=("ck",))
-def _ray_fwd_impl(ws, bs, feat, u, weights, ck):
+def _ray_fwd_impl(ws, bs, feat, o, d, z, g3, weights, ck):
     cfg = dict(ck)
     n_lin = cfg["n_layers"] + 1
     N = cfg["n_samples"]
     d_feat = cfg["d_feat"]
-    M, B = feat.shape[0], weights.shape[0]
-    M_pad = M + ((-M) % TILE)
-    B_pad = M_pad // N
+    B = weights.shape[0]
     rays_per_tile = TILE // N
-    feat_p = _pad_rows(feat, M_pad)
-    u_p = _pad_rows(u, M_pad)
-    w_p = _pad_rows(weights, B_pad)
+    feat_p, o_p, d_p, z_p, g3_p, w_p, b_pad, m_pad = _pad_ray_inputs(
+        feat, o, d, z, g3, weights, rays_per_tile, N)
     G, f, kind = (jnp.asarray(t)
                   for t in _ff_tables_np(cfg["multires_view"],
                                          9 + 6 * cfg["multires_view"]))
-    grid = M_pad // TILE
+    grid = m_pad // TILE
     w0a, w0b = _split_lin0(ws, d_feat)
+    ray3_spec = pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    rayn_spec = pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    g3_spec = pl.BlockSpec((3, rays_per_tile, N), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
     tile_specs = [
         pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        ray3_spec, ray3_spec, rayn_spec, g3_spec, rayn_spec,
     ]
     out = pl.pallas_call(
         _make_ray_fwd_kernel(n_lin, N),
         grid=(grid,),
         in_specs=tile_specs + _w_specs([G, f, kind])
         + _w_specs([w0a, w0b]) + _w_specs(ws[1:]) + _w_specs(bs),
-        out_specs=pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B_pad, 3), jnp.float32),
+        out_specs=ray3_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(feat_p, u_p, w_p, G, f, kind, w0a, w0b, *ws[1:], *bs)
+    )(feat_p, o_p, d_p, z_p, g3_p, w_p, G, f, kind, w0a, w0b,
+      *ws[1:], *bs)
     return out[:B]
 
 
 @partial(jax.jit, static_argnames=("ck",))
-def _ray_bwd_impl(ws, bs, feat, u, weights, ct, ck):
+def _ray_bwd_impl(ws, bs, feat, o, d, z, g3, weights, ct, ck):
     cfg = dict(ck)
     n_lin = cfg["n_layers"] + 1
     N = cfg["n_samples"]
     d_feat = cfg["d_feat"]
     M, B = feat.shape[0], weights.shape[0]
-    M_pad = M + ((-M) % TILE)
-    B_pad = M_pad // N
     rays_per_tile = TILE // N
-    feat_p = _pad_rows(feat, M_pad)
-    u_p = _pad_rows(u, M_pad)
-    w_p = _pad_rows(weights, B_pad)
-    ct_p = _pad_rows(ct, B_pad)
+    feat_p, o_p, d_p, z_p, g3_p, w_p, b_pad, m_pad = _pad_ray_inputs(
+        feat, o, d, z, g3, weights, rays_per_tile, N)
+    ct_p = _pad_rows(ct, b_pad)
     G, f, kind = (jnp.asarray(t)
                   for t in _ff_tables_np(cfg["multires_view"],
                                          9 + 6 * cfg["multires_view"]))
-    grid = M_pad // TILE
+    grid = m_pad // TILE
     w0a, w0b = _split_lin0(ws, d_feat)
     wts = [w.T for w in ws[1:]]
+    ray3_spec = pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    rayn_spec = pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    g3_spec = pl.BlockSpec((3, rays_per_tile, N), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        ray3_spec, ray3_spec, rayn_spec, g3_spec, rayn_spec, ray3_spec,
     ] + _w_specs([G, f, kind]) + _w_specs([w0a, w0b]) + _w_specs(ws[1:]) \
         + _w_specs(bs) + _w_specs([w0a.T, w0b.T]) + _w_specs(wts)
     out_specs = (
         [pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
                       memory_space=pltpu.VMEM),
-         pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
-         pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
-                      memory_space=pltpu.VMEM)]
+         ray3_spec, ray3_spec, rayn_spec, g3_spec, rayn_spec]
         + _w_specs([w0a, w0b]) + _w_specs(ws[1:]) + _w_specs(bs))
     out_shapes = (
-        [jax.ShapeDtypeStruct((M_pad, d_feat), feat.dtype),
-         jax.ShapeDtypeStruct((M_pad, 9), jnp.float32),
-         jax.ShapeDtypeStruct((B_pad, N), jnp.float32)]
+        [jax.ShapeDtypeStruct((m_pad, d_feat), feat.dtype),
+         jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
+         jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
+         jax.ShapeDtypeStruct((b_pad, N), jnp.float32),
+         jax.ShapeDtypeStruct((3, b_pad, N), jnp.float32),
+         jax.ShapeDtypeStruct((b_pad, N), jnp.float32)]
         + [jax.ShapeDtypeStruct(w0a.shape, jnp.float32),
            jax.ShapeDtypeStruct(w0b.shape, jnp.float32)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws[1:]]
@@ -590,65 +649,73 @@ def _ray_bwd_impl(ws, bs, feat, u, weights, ct, ck):
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(feat_p, u_p, w_p, ct_p, G, f, kind, w0a, w0b, *ws[1:], *bs,
-      w0a.T, w0b.T, *wts)
+    )(feat_p, o_p, d_p, z_p, g3_p, w_p, ct_p, G, f, kind, w0a, w0b,
+      *ws[1:], *bs, w0a.T, w0b.T, *wts)
     featbar = outs[0][:M]
-    ubar = outs[1][:M]
-    dwgt = outs[2][:B]
-    dw0 = jnp.concatenate([outs[3], outs[4]], axis=0)
-    dws = [dw0] + list(outs[5:4 + n_lin])
-    dbs = [b[0] for b in outs[4 + n_lin:]]
-    return featbar, ubar, dwgt, dws, dbs
+    obar, dbar, zbar = outs[1][:B], outs[2][:B], outs[3][:B]
+    g3bar = outs[4][:, :B]
+    dwgt = outs[5][:B]
+    dw0 = jnp.concatenate([outs[6], outs[7]], axis=0)
+    dws = [dw0] + list(outs[8:7 + n_lin])
+    dbs = [b[0] for b in outs[7 + n_lin:]]
+    return featbar, obar, dbar, zbar, g3bar, dwgt, dws, dbs
 
 
-def ray_reference(params, cfg, feat, u, weights):
+def ray_reference(params, cfg, feat, o, d, z, g3, weights):
     """Pure-JAX oracle with identical math (feature-first concat,
-    selection-matmul PE tail, per-ray composite)."""
+    selection-matmul PE tail, per-ray composite, pts = o + d*z)."""
+    B, N = weights.shape
+    pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
+    dirs = jnp.broadcast_to(d[:, None, :], (B, N, 3)).reshape(-1, 3)
+    normals = jnp.moveaxis(g3, 0, -1).reshape(-1, 3)
     small_in = assemble_featfirst(
-        cfg, u[:, 0:3], u[:, 3:6], u[:, 6:9], feat.astype(jnp.float32))
+        cfg, pts, dirs, normals, feat.astype(jnp.float32))
     p2 = permute_params_featfirst(params, cfg)
     c = apply_from_concat(p2, cfg, small_in)
-    B, N = weights.shape
     return (c.reshape(B, N, 3) * weights[:, :, None]).sum(axis=1)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _ray_op(params, ck, feat, u, weights):
+def _ray_op(params, ck, feat, o, d, z, g3, weights):
     cfg = dict(ck)
     ws, bs = _materialize_ff(params, cfg, cfg["n_layers"] + 1)
-    return _ray_fwd_impl(ws, bs, feat, u, weights, ck)
+    return _ray_fwd_impl(ws, bs, feat, o, d, z, g3, weights, ck)
 
 
-def _ray_fwd(params, ck, feat, u, weights):
-    return _ray_op(params, ck, feat, u, weights), (params, feat, u,
-                                                   weights)
+def _ray_fwd(params, ck, feat, o, d, z, g3, weights):
+    return (_ray_op(params, ck, feat, o, d, z, g3, weights),
+            (params, feat, o, d, z, g3, weights))
 
 
 def _ray_bwd(ck, res, ct):
-    params, feat, u, weights = res
+    params, feat, o, d, z, g3, weights = res
     cfg = dict(ck)
     if os.environ.get("FMOV_FUSED_COLOR_BWD", "1") == "0":
         _, vjp = jax.vjp(
-            lambda p, s, uu, w: ray_reference(p, cfg, s, uu, w),
-            params, feat, u, weights)
+            lambda p, s, oo, dd, zz, gg, w: ray_reference(
+                p, cfg, s, oo, dd, zz, gg, w),
+            params, feat, o, d, z, g3, weights)
         return vjp(ct)
     n_lin = cfg["n_layers"] + 1
     (ws, bs), mat_vjp = jax.vjp(
         lambda p: _materialize_ff(p, cfg, n_lin), params)
-    featbar, ubar, dwgt, dws, dbs = _ray_bwd_impl(
-        ws, bs, feat, u, weights, ct, ck)
+    featbar, obar, dbar, zbar, g3bar, dwgt, dws, dbs = _ray_bwd_impl(
+        ws, bs, feat, o, d, z, g3, weights, ct, ck)
     (pbar,) = mat_vjp((dws, [db[None, :] for db in dbs]))
-    return pbar, featbar, ubar, dwgt
+    return pbar, featbar, obar, dbar, zbar, g3bar, dwgt
 
 
 _ray_op.defvjp(_ray_fwd, _ray_bwd)
 
 
-def color_fused_ray(params, cfg, feat, u, weights):
-    """Composited fused color: feat [M, d_feat] (ALIGNED fused-SDF
-    feature, f32 or bf16), u [M, 9] = [pts|dirs|normals], weights
-    [B, N] (M = B*N).  Returns color [B, 3].  Gradients flow to params,
-    feat, u, and weights (featbar keeps feat's dtype)."""
+def color_fused_ray(params, cfg, feat, rays_o, rays_d, z_mid, g3,
+                    weights):
+    """Composited fused color from per-ray geometry: feat [B*N, d_feat]
+    (ALIGNED fused-SDF feature, f32 or bf16), rays_o/rays_d [B, 3],
+    z_mid [B, N], g3 [3, B, N] gradient planes, weights [B, N].
+    pts/dirs/normals are built IN-KERNEL (no 42x-padded [M, 9] u array
+    crosses HBM).  Returns color [B, 3].  Gradients flow to params,
+    feat (in feat's dtype), rays_o, rays_d, z_mid, g3 and weights."""
     B, N = weights.shape
     ck = _ray_cfg_key(cfg, N, feat.shape[1])
-    return _ray_op(params, ck, feat, u, weights)
+    return _ray_op(params, ck, feat, rays_o, rays_d, z_mid, g3, weights)

@@ -660,6 +660,31 @@ def _sdf_bwd_impl(ws, bs, x, ybar, gbar_inp, cfg_key):
 # ------------------------------------------------------------------
 
 
+def _flat_from_ray(O, Smask, ray_vals, hp):
+    """[R, N] per-ray values -> [T, 1] flat column (exact one-hot)."""
+    return jnp.sum(jnp.dot(O, ray_vals, precision=hp) * Smask,
+                   axis=1, keepdims=True)
+
+
+def _ray_from_flat(O, Smask, col, hp):
+    """[T, 1] flat column -> [R, N] per-ray layout (exact one-hot)."""
+    return jax.lax.dot_general(
+        O, col * Smask, (((0,), (0,)), ((), ())),
+        precision=hp, preferred_element_type=jnp.float32)
+
+
+def _build_xs(o_ref, d_ref, z_ref, O, Smask, hp):
+    """pts [T, 3] from per-ray origin/dir [R, 3] + z [R, N] in-kernel.
+
+    The [M, 3] pts array this replaces stores 128-lane padded in HBM
+    (42x: 512 MB at 1M samples) and was written by XLA + read by every
+    kernel pass; per-ray blocks are a few KB."""
+    o_t = jnp.dot(O, o_ref[:], precision=hp)
+    d_t = jnp.dot(O, d_ref[:], precision=hp)
+    z_flat = _flat_from_ray(O, Smask, z_ref[:], hp)
+    return o_t + d_t * z_flat, d_t, z_flat
+
+
 def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, feat_dtype):
     skip_in = tuple(cfg.get("skip_in", (4,)))
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
@@ -670,22 +695,29 @@ def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, feat_dtype):
         # w_feat [256, d_out-1] / b_feat and the sdf column w_last_col
         # [1, 256] / b_sdf [1, 1]: the feature then leaves the kernel as
         # an ALIGNED [T, 256] block (a [T, 257] out forces a lane-offset
-        # slice in every consumer and pads its DMA tiles 257->384 lanes)
-        xs_ref = refs[0]
-        g_ref, f_ref, k_ref = refs[1], refs[2], refs[3]
-        ws = [refs[4 + i][:] for i in range(n_lin - 1)]
-        w_feat = refs[3 + n_lin][:]
-        bs = [refs[4 + n_lin + i][:] for i in range(n_lin - 1)]
-        b_feat = refs[3 + 2 * n_lin][:]
-        b_sdf = refs[4 + 2 * n_lin][:]
-        wts = [refs[5 + 2 * n_lin + i][:] for i in range(n_lin - 1)]
-        w_last_col = refs[4 + 3 * n_lin][:]
-        feat_ref = refs[5 + 3 * n_lin]
-        sdfbn_ref = refs[6 + 3 * n_lin]
-        grad_ref = refs[7 + 3 * n_lin]
+        # slice in every consumer and pads its DMA tiles 257->384 lanes).
+        # Geometry arrives PER-RAY (o/d [R,3], z [R,N]) and pts is built
+        # in-kernel; the gradient leaves as [3]-leading channel planes
+        # g3 [3, R, N] (fully lane-packed) instead of [T, 3] (42x pad).
+        o_ref, d_ref, z_ref = refs[0], refs[1], refs[2]
+        g_ref, f_ref, k_ref = refs[3], refs[4], refs[5]
+        ws = [refs[6 + i][:] for i in range(n_lin - 1)]
+        w_feat = refs[5 + n_lin][:]
+        bs = [refs[6 + n_lin + i][:] for i in range(n_lin - 1)]
+        b_feat = refs[5 + 2 * n_lin][:]
+        b_sdf = refs[6 + 2 * n_lin][:]
+        wts = [refs[7 + 2 * n_lin + i][:] for i in range(n_lin - 1)]
+        w_last_col = refs[6 + 3 * n_lin][:]
+        feat_ref = refs[7 + 3 * n_lin]
+        sdfbn_ref = refs[8 + 3 * n_lin]
+        g3_ref = refs[9 + 3 * n_lin]
+
+        T = n_samples * z_ref.shape[0]
+        O, Smask = _ray_onehots(T, n_samples)
+        xs, _, _ = _build_xs(o_ref, d_ref, z_ref, O, Smask, hp)
 
         scale = cfg.get("scale", 1.0)
-        xs_s = xs_ref[:] * scale
+        xs_s = xs * scale
         pe = _PETile(xs_s, g_ref, f_ref, k_ref)
         xe = pe.xe()
 
@@ -706,11 +738,8 @@ def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, feat_dtype):
             inp_last.astype(jnp.bfloat16), w_last_col.astype(jnp.bfloat16),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
             + b_sdf) / scale
-        O, Smask = _ray_onehots(inp_last.shape[0], n_samples)
         # sdf_bn[r, j] = sdf_col[r*N + j, 0]: exact one-hot contraction
-        sdfbn_ref[:] = jax.lax.dot_general(
-            O, sdf_col * Smask, (((0,), (0,)), ((), ())),
-            precision=hp, preferred_element_type=jnp.float32)
+        sdfbn_ref[:] = _ray_from_flat(O, Smask, sdf_col, hp)
 
         delta = jnp.broadcast_to(
             w_last_col, (xe.shape[0], w_last_col.shape[1]))
@@ -724,7 +753,9 @@ def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, feat_dtype):
                 delta = delta[:, :h_dim] * inv_sqrt2
         d_inputs = d_inputs + delta
         # scale * (1/scale) on the sdf column cancels: grad is wrt raw x
-        grad_ref[:] = jnp.dot(d_inputs * pe.jac(), g_ref[:].T, precision=hp)
+        grad = jnp.dot(d_inputs * pe.jac(), g_ref[:].T, precision=hp)
+        for c in range(3):
+            g3_ref[c] = _ray_from_flat(O, Smask, grad[:, c:c + 1], hp)
 
     return kernel
 
@@ -744,20 +775,27 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
         # dwfeat [256, 256] + dwcolT [1, 256] (the column grad
         # TRANSPOSED: both Phase A's col_bar and Phase B's sum(inp*ct0)
         # are naturally [1, 256] rows — the host re-assembles).
-        xs_ref, ctfeat_ref, ctsdf_ref, ctgrad_ref = refs[:4]
-        g_ref, f_ref, k_ref = refs[4], refs[5], refs[6]
-        ws = [refs[7 + i][:] for i in range(L)]
-        bs = [refs[7 + L + i][:] for i in range(L)]
-        wts = [refs[7 + 2 * L + i][:] for i in range(L)]
-        wfeat_t_ref = refs[7 + 3 * L]
-        w_last_col = refs[8 + 3 * L][:]
-        xsbar_ref = refs[9 + 3 * L]
-        dws = [refs[10 + 3 * L + i] for i in range(L)]
-        dwfeat_ref = refs[10 + 4 * L]
-        dwcolt_ref = refs[11 + 4 * L]
-        dbs = [refs[12 + 4 * L + i] for i in range(L)]
-        dbfeat_ref = refs[12 + 5 * L]
-        dbsdf_ref = refs[13 + 5 * L]
+        # Geometry arrives per-ray (o/d/z) and pts is rebuilt in-kernel;
+        # the grad cotangent arrives as planes ct_g3 [3, R, N] and the
+        # xs cotangent leaves as per-ray reductions obar/dbar [R, 3] +
+        # zbar [R, N] — nothing 42x-padded crosses HBM.
+        o_ref, d_ref, z_ref = refs[0], refs[1], refs[2]
+        ctfeat_ref, ctsdf_ref, ctg3_ref = refs[3], refs[4], refs[5]
+        g_ref, f_ref, k_ref = refs[6], refs[7], refs[8]
+        ws = [refs[9 + i][:] for i in range(L)]
+        bs = [refs[9 + L + i][:] for i in range(L)]
+        wts = [refs[9 + 2 * L + i][:] for i in range(L)]
+        wfeat_t_ref = refs[9 + 3 * L]
+        w_last_col = refs[10 + 3 * L][:]
+        obar_ref = refs[11 + 3 * L]
+        dbar_ref = refs[12 + 3 * L]
+        zbar_ref = refs[13 + 3 * L]
+        dws = [refs[14 + 3 * L + i] for i in range(L)]
+        dwfeat_ref = refs[14 + 4 * L]
+        dwcolt_ref = refs[15 + 4 * L]
+        dbs = [refs[16 + 4 * L + i] for i in range(L)]
+        dbfeat_ref = refs[16 + 5 * L]
+        dbsdf_ref = refs[17 + 5 * L]
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
@@ -769,20 +807,22 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
             dbfeat_ref[:] = jnp.zeros_like(dbfeat_ref)
             dbsdf_ref[:] = jnp.zeros_like(dbsdf_ref)
 
+        T = n_samples * z_ref.shape[0]
+        O, Smask = _ray_onehots(T, n_samples)
+        xs, d_t, z_flat = _build_xs(o_ref, d_ref, z_ref, O, Smask, hp)
+
         scale = cfg.get("scale", 1.0)
-        xs_s = xs_ref[:] * scale
+        xs_s = xs * scale
         pe = _PETile(xs_s, g_ref, f_ref, k_ref)
         xe = pe.xe()
         jac = pe.jac()
-        T = xe.shape[0]
 
         ct_feat = ctfeat_ref[:].astype(jnp.float32)
         # ct_sdf [R, N] -> flat column [T, 1] via exact one-hot dots
-        O, Smask = _ray_onehots(T, n_samples)
-        ct0 = jnp.sum(
-            jnp.dot(O, ctsdf_ref[:], precision=hp) * Smask,
-            axis=1, keepdims=True) / scale
-        ct_grad = ctgrad_ref[:]
+        ct0 = _flat_from_ray(O, Smask, ctsdf_ref[:], hp) / scale
+        ct_grad = jnp.concatenate(
+            [_flat_from_ray(O, Smask, ctg3_ref[c], hp) for c in range(3)],
+            axis=-1)
         ct_grad_G = jnp.dot(ct_grad, g_ref[:], precision=hp)
         gbar = ct_grad_G * jac                      # pe_jvp(xs, ct_grad)
 
@@ -881,10 +921,20 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
                 zbar = ibar * sigs[l - 1] + (extra if extra is not None
                                              else 0.0)
 
-        # xs cotangent fully in-kernel: pe_vjp(xs, xebar) + second term
+        # xs cotangent fully in-kernel: pe_vjp(xs, xebar) + second term,
+        # then reduced per-ray THROUGH pts = o + d*z (exact one-hot
+        # contractions): obar = sum_j xsbar, dbar = sum_j z*xsbar,
+        # zbar = <xsbar, d> per sample
         xsbar = jnp.dot(xebar * jac + ct_grad_G * d_inputs * pe.d2(),
-                        g_ref[:].T, precision=hp)
-        xsbar_ref[:] = xsbar * scale
+                        g_ref[:].T, precision=hp) * scale
+        obar_ref[:] = jax.lax.dot_general(
+            O, xsbar, (((0,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=jnp.float32)
+        dbar_ref[:] = jax.lax.dot_general(
+            O, xsbar * z_flat, (((0,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=jnp.float32)
+        s = jnp.sum(xsbar * d_t, axis=1, keepdims=True)
+        zbar_ref[:] = _ray_from_flat(O, Smask, s, hp)
 
     return kernel
 
@@ -899,15 +949,27 @@ FEAT_DTYPE = (jnp.bfloat16
               else jnp.float32)
 
 
+def _pad_rays(o, d, z, rays_per_tile):
+    B = z.shape[0]
+    b_pad = B + ((-B) % rays_per_tile)
+    if b_pad != B:
+        pad = b_pad - B
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], 0)
+        d = jnp.concatenate([d, jnp.zeros((pad, 3), d.dtype)], 0)
+        z = jnp.concatenate([z, jnp.zeros((pad, z.shape[1]), z.dtype)], 0)
+    return o, d, z, b_pad
+
+
 @partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
-def _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples):
+def _sdf_fwd_grad_rays_impl(ws, bs, o, d, z, cfg_key, n_samples):
     cfg = dict(cfg_key)
     n_lin = len(ws)
     d_feat = cfg["d_out"] - 1
-    xs, n = _pad_to_tile(x)
-    grid = xs.shape[0] // TILE
     rays_per_tile = TILE // n_samples
-    b_pad = xs.shape[0] // n_samples
+    B = z.shape[0]
+    o_p, d_p, z_p, b_pad = _pad_rays(o, d, z, rays_per_tile)
+    m_pad = b_pad * n_samples
+    grid = m_pad // TILE
     (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
     wts = [w.T for w in ws[:-1]]
     w_last_col = ws[-1][:, 0][None, :]
@@ -917,11 +979,14 @@ def _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples):
     ws_in = list(ws[:-1]) + [w_feat]
     bs_in = list(bs[:-1]) + [b_feat]
     kernel = _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, FEAT_DTYPE)
-    feat, sdf_bn, grad = pl.pallas_call(
+    ray3_spec = pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    rayn_spec = pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    feat, sdf_bn, g3 = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((TILE, 3), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
+        in_specs=[ray3_spec, ray3_spec, rayn_spec]
         + table_specs + _weight_specs(ws_in, bs_in)
         + [pl.BlockSpec(b_sdf.shape, lambda i: (0, 0),
                         memory_space=pltpu.VMEM)]
@@ -932,40 +997,46 @@ def _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples):
         out_specs=(
             pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            rayn_spec,
+            pl.BlockSpec((3, rays_per_tile, n_samples),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((xs.shape[0], d_feat), FEAT_DTYPE),
+            jax.ShapeDtypeStruct((m_pad, d_feat), FEAT_DTYPE),
             jax.ShapeDtypeStruct((b_pad, n_samples), jnp.float32),
-            jax.ShapeDtypeStruct((xs.shape[0], 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, b_pad, n_samples), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(xs, G, f, kind, *ws_in, *bs_in, b_sdf, *wts, w_last_col)
-    return feat[:n], sdf_bn[:n // n_samples], grad[:n]
+    )(o_p, d_p, z_p, G, f, kind, *ws_in, *bs_in, b_sdf, *wts, w_last_col)
+    return feat[:B * n_samples], sdf_bn[:B], g3[:, :B]
 
 
 @partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
-def _sdf_bwd_rays_impl(ws, bs, x, ct_feat, ct_sdf, ct_grad, cfg_key,
+def _sdf_bwd_rays_impl(ws, bs, o, d, z, ct_feat, ct_sdf, ct_g3, cfg_key,
                        n_samples):
     cfg = dict(cfg_key)
     n_lin = len(ws)
     L = n_lin - 1
     d_feat = cfg["d_out"] - 1
-    xs, n = _pad_to_tile(x)
-    ctfeat_p, _ = _pad_to_tile(ct_feat)
-    ctgrad_p, _ = _pad_to_tile(ct_grad)
-    b_pad = xs.shape[0] // n_samples
-    ct_sdf_p = ct_sdf
-    if ct_sdf_p.shape[0] != b_pad:
-        ct_sdf_p = jnp.concatenate(
-            [ct_sdf_p, jnp.zeros((b_pad - ct_sdf_p.shape[0], n_samples),
-                                 ct_sdf_p.dtype)], 0)
-    grid = xs.shape[0] // TILE
     rays_per_tile = TILE // n_samples
+    B = z.shape[0]
+    o_p, d_p, z_p, b_pad = _pad_rays(o, d, z, rays_per_tile)
+    m_pad = b_pad * n_samples
+    ctfeat_p = ct_feat
+    if ctfeat_p.shape[0] != m_pad:
+        ctfeat_p = jnp.concatenate(
+            [ctfeat_p, jnp.zeros((m_pad - ctfeat_p.shape[0], d_feat),
+                                 ctfeat_p.dtype)], 0)
+    ct_sdf_p = ct_sdf
+    ct_g3_p = ct_g3
+    if ct_sdf_p.shape[0] != b_pad:
+        pad = b_pad - ct_sdf_p.shape[0]
+        ct_sdf_p = jnp.concatenate(
+            [ct_sdf_p, jnp.zeros((pad, n_samples), ct_sdf_p.dtype)], 0)
+        ct_g3_p = jnp.concatenate(
+            [ct_g3_p, jnp.zeros((3, pad, n_samples), ct_g3_p.dtype)], 1)
+    grid = m_pad // TILE
     (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
     ws_h, bs_h = list(ws[:-1]), list(bs[:-1])
     wts = [w.T for w in ws_h]
@@ -973,8 +1044,16 @@ def _sdf_bwd_rays_impl(ws, bs, x, ct_feat, ct_sdf, ct_grad, cfg_key,
     w_last_col = ws[-1][:, 0][None, :]
     kernel = _make_bwd_rays_kernel(cfg, n_lin, n_samples)
     d_hid = ws[-1].shape[0]
+    ray3_spec = pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    rayn_spec = pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    g3_spec = pl.BlockSpec((3, rays_per_tile, n_samples),
+                           lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     out_shapes = (
-        [jax.ShapeDtypeStruct((xs.shape[0], 3), jnp.float32)]
+        [jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
+         jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
+         jax.ShapeDtypeStruct((b_pad, n_samples), jnp.float32)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_h]
         + [jax.ShapeDtypeStruct((d_hid, d_feat), jnp.float32),
            jax.ShapeDtypeStruct((1, d_hid), jnp.float32)]
@@ -982,21 +1061,16 @@ def _sdf_bwd_rays_impl(ws, bs, x, ct_feat, ct_sdf, ct_grad, cfg_key,
         + [jax.ShapeDtypeStruct((1, d_feat), jnp.float32),
            jax.ShapeDtypeStruct((1, 1), jnp.float32)])
     out_specs = tuple(
-        [pl.BlockSpec((TILE, 3), lambda i: (i, 0),
-                      memory_space=pltpu.VMEM)]
+        [ray3_spec, ray3_spec, rayn_spec]
         + [pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-           for s in out_shapes[1:]])
+           for s in out_shapes[3:]])
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((TILE, 3), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[ray3_spec, ray3_spec, rayn_spec,
                   pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((TILE, 3), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)]
+                  rayn_spec, g3_spec]
         + table_specs + _weight_specs(ws_h, bs_h)
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for w in wts]
@@ -1008,17 +1082,17 @@ def _sdf_bwd_rays_impl(ws, bs, x, ct_feat, ct_sdf, ct_grad, cfg_key,
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(xs, ctfeat_p, ct_sdf_p, ctgrad_p, G, f, kind, *ws_h, *bs_h, *wts,
-      wfeat_t, w_last_col)
-    xbar = outs[0][:n]
-    dws = list(outs[1:1 + L])
-    dwfeat, dwcolt = outs[1 + L], outs[2 + L]
-    dbs_h = [b[0] for b in outs[3 + L:3 + 2 * L]]
-    dbfeat, dbsdf = outs[3 + 2 * L], outs[4 + 2 * L]
+    )(o_p, d_p, z_p, ctfeat_p, ct_sdf_p, ct_g3_p, G, f, kind,
+      *ws_h, *bs_h, *wts, wfeat_t, w_last_col)
+    obar, dbar, zbar = outs[0][:B], outs[1][:B], outs[2][:B]
+    dws = list(outs[3:3 + L])
+    dwfeat, dwcolt = outs[3 + L], outs[4 + L]
+    dbs_h = [b[0] for b in outs[5 + L:5 + 2 * L]]
+    dbfeat, dbsdf = outs[5 + 2 * L], outs[6 + 2 * L]
     # re-assemble the reference-shaped last-layer grads
     dws.append(jnp.concatenate([dwcolt.T, dwfeat], axis=1))
     dbs_h.append(jnp.concatenate([dbsdf, dbfeat], axis=1)[0])
-    return xbar, dws, dbs_h
+    return obar, dbar, zbar, dws, dbs_h
 
 
 def _cfg_key(cfg):
@@ -1151,50 +1225,57 @@ def _sdf_apply_grad_bwd(cfg_key, res, cts):
 _sdf_apply_grad_op.defvjp(_sdf_apply_grad_fwd, _sdf_apply_grad_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 3))
-def _sdf_rays_op(params, cfg_key, x, n_samples):
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _sdf_rays_op(params, cfg_key, o, d, z):
     ws, bs = _materialize(params, dict(cfg_key))
-    return _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples)
+    return _sdf_fwd_grad_rays_impl(ws, bs, o, d, z, cfg_key, z.shape[1])
 
 
-def _sdf_rays_fwd(params, cfg_key, x, n_samples):
-    return _sdf_rays_op(params, cfg_key, x, n_samples), (params, x)
+def _sdf_rays_fwd(params, cfg_key, o, d, z):
+    return _sdf_rays_op(params, cfg_key, o, d, z), (params, o, d, z)
 
 
-def _sdf_rays_bwd(cfg_key, n_samples, res, cts):
-    params, x = res
-    ct_feat, ct_sdf, ct_grad = cts
+def _sdf_rays_bwd(cfg_key, res, cts):
+    params, o, d, z = res
+    ct_feat, ct_sdf, ct_g3 = cts
+    n_samples = z.shape[1]
     if os.environ.get("FMOV_FUSED_BWD", "1") == "0":
         # XLA reference oracle through the unfused nets
         cfg = dict(cfg_key)
 
-        def ref(p, pts):
+        def ref(p, oo, dd, zz):
+            pts = (oo[:, None, :] + dd[:, None, :]
+                   * zz[..., None]).reshape(-1, 3)
             out = nets.sdf_apply(p, cfg, pts)
             grad = nets.sdf_gradient(p, cfg, pts)
             sdf_bn = out[:, 0].reshape(-1, n_samples)
-            return out[:, 1:].astype(FEAT_DTYPE), sdf_bn, grad
+            g3 = jnp.moveaxis(grad.reshape(-1, n_samples, 3), -1, 0)
+            return out[:, 1:].astype(FEAT_DTYPE), sdf_bn, g3
 
-        _, vjp = jax.vjp(ref, params, x)
-        return vjp((ct_feat, ct_sdf, ct_grad))
+        _, vjp = jax.vjp(ref, params, o, d, z)
+        return vjp((ct_feat, ct_sdf, ct_g3))
     (ws, bs), mat_vjp = jax.vjp(
         lambda p: _materialize(p, dict(cfg_key)), params)
-    xbar, dws, dbs = _sdf_bwd_rays_impl(
-        ws, bs, x, ct_feat, ct_sdf, ct_grad, cfg_key, n_samples)
+    obar, dbar, zbar, dws, dbs = _sdf_bwd_rays_impl(
+        ws, bs, o, d, z, ct_feat, ct_sdf, ct_g3, cfg_key, n_samples)
     (pbar,) = mat_vjp((dws, [db[None, :] for db in dbs]))
-    return pbar, xbar
+    return pbar, obar, dbar, zbar
 
 
 _sdf_rays_op.defvjp(_sdf_rays_fwd, _sdf_rays_bwd)
 
 
-def sdf_apply_grad_fused_rays(params, cfg, x, n_samples: int):
-    """(feat [M, d_out-1], sdf_bn [M//n_samples, n_samples], grad [M, 3])
-    with PE and every PE-derivative chain fused in-kernel, the last layer
-    split so the feature leaves lane-ALIGNED (FEAT_DTYPE, bf16 by
-    default — bit-identical to the color kernel's own bf16 cast), and
-    the backward taking naturally-shaped split cotangents.  Requires
-    TILE % n_samples == 0 (each tile holds whole rays)."""
-    return _sdf_rays_op(params, _cfg_key(cfg), x, n_samples)
+def sdf_apply_grad_fused_rays(params, cfg, rays_o, rays_d, z_mid):
+    """(feat [B*N, d_out-1], sdf_bn [B, N], g3 [3, B, N]) from per-ray
+    geometry (rays_o/rays_d [B, 3], z_mid [B, N]): pts are built
+    IN-KERNEL, PE and every PE-derivative chain are fused, the last
+    layer is split so the feature leaves lane-ALIGNED (FEAT_DTYPE, bf16
+    by default — bit-identical to the color kernel's own bf16 cast),
+    and the gradient leaves as fully lane-packed channel planes instead
+    of a 42x-padded [M, 3].  The backward reduces the pts cotangent
+    per-ray through pts = o + d*z (obar/dbar [B, 3], zbar [B, N]).
+    Requires TILE % N == 0 (each tile holds whole rays)."""
+    return _sdf_rays_op(params, _cfg_key(cfg), rays_o, rays_d, z_mid)
 
 
 # below this many total samples the rays variant loses to the plain

@@ -164,23 +164,26 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         use_fused_train = fused_sdf.supported(sdf_cfg)
 
     sdf_bn_direct = None
+    g3 = None   # gradient channel-planes [3, B, N] (rays fused path)
     if use_fused_train:
         # fully-fused Pallas path: fwd+grad in one kernel, and a fused
         # second-order backward (custom_vjp) — O(batch) memory, ~15%
         # faster than the remat'ed XLA path on v5e
         from fmov_pose_tpu.ops import fused_sdf
         if fused_sdf.supported_rays(sdf_cfg, n_samples, pts.shape[0]):
-            # rays variant (round 3): PE + its derivative chains live
-            # in-kernel, the sdf scalar comes out [B, N] directly, and
-            # the feature leaves lane-ALIGNED [M, 256] (bf16 by default
-            # — the color kernel's first matmul casts to bf16 anyway),
-            # so the [M,39] xe/pe-vjp passes, the [M,257] cotangent
-            # assembly and the 257->384-lane padded feature DMAs never
-            # touch HBM (~30 ms/step at 1M samples)
-            feat_direct, sdf_bn_direct, gradients = \
+            # rays variant (round 3): pts built IN-KERNEL from per-ray
+            # o/d/z, PE + its derivative chains fused, the sdf scalar
+            # comes out [B, N] directly, the feature leaves lane-ALIGNED
+            # [M, 256] (bf16 by default — the color kernel's first
+            # matmul casts to bf16 anyway) and the gradient leaves as
+            # fully lane-packed planes g3 [3, B, N].  The [M, 3] pts,
+            # [M, 39] xe, [M, 257] cotangent and [M, 3] grad arrays all
+            # store 42x lane-padded in HBM — none of them cross anymore.
+            feat_direct, sdf_bn_direct, g3 = \
                 fused_sdf.sdf_apply_grad_fused_rays(
-                    params["sdf"], sdf_cfg, pts, n_samples)
+                    params["sdf"], sdf_cfg, rays_o, rays_d, mid_z_vals)
             sdf_nn = None
+            gradients = None
         else:
             sdf_nn, gradients = fused_sdf.sdf_apply_grad_fused(
                 params["sdf"], sdf_cfg, pts)
@@ -203,7 +206,10 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         sdf = sdf_nn[:, :1]
         feature = sdf_nn[:, 1:]
     if eval_mode:
-        gradients = jax.lax.stop_gradient(gradients)
+        if g3 is not None:
+            g3 = jax.lax.stop_gradient(g3)
+        else:
+            gradients = jax.lax.stop_gradient(gradients)
 
     color_cfg = model_cfg["color"]
     use_fused_color = False
@@ -224,6 +230,12 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
             use_fused_color and background_alpha is None
             and fused_color.supported_ray(color_cfg, n_samples)
             and os.environ.get("FMOV_FUSED_COLOR_RAY", "1") == "1")
+
+    if g3 is not None and not use_fused_color_ray:
+        # rays SDF path but per-sample colors needed (NeRF++ background):
+        # reconstruct the flat [M, 3] gradients once — same cost the old
+        # grad output paid unconditionally
+        gradients = jnp.moveaxis(g3, 0, -1).reshape(-1, 3)
 
     if use_fused_color_ray:
         sampled_color = None  # composited in-kernel after weights
@@ -254,7 +266,15 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     # per materialized op on TPU. Elementwise only — bitwise identical.
     sdf_bn = (sdf_bn_direct if sdf_bn_direct is not None
               else sdf.reshape(batch_size, n_samples))
-    true_cos = (dirs * gradients).sum(-1).reshape(batch_size, n_samples)
+    if g3 is not None and use_fused_color_ray:
+        # planes form: dirs are constant per ray, so true_cos is three
+        # [B, N] multiply-adds on fully packed arrays (the [M, 3] form
+        # streams 42x-padded)
+        true_cos = (g3[0] * rays_d[:, 0:1] + g3[1] * rays_d[:, 1:2]
+                    + g3[2] * rays_d[:, 2:3])
+    else:
+        true_cos = (dirs * gradients).sum(-1).reshape(
+            batch_size, n_samples)
     # anneal keeps cos "alive" early in training (`renderer.py:297-302`)
     iter_cos = -(
         jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
@@ -294,18 +314,22 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     weights_sum = weights.sum(axis=-1, keepdims=True)
     if use_fused_color_ray:
         from fmov_pose_tpu.ops import fused_color
-        u = jnp.concatenate([pts, dirs, gradients], axis=-1)
         color = fused_color.color_fused_ray(
-            params["color"], color_cfg, feature, u, weights)
+            params["color"], color_cfg, feature, rays_o, rays_d,
+            mid_z_vals, g3, weights)
     else:
         color = (sampled_color * weights[..., None]).sum(axis=1)
     if background_rgb is not None:
         color = color + background_rgb * (1.0 - weights_sum)
 
-    # sqrt-of-sum-of-squares on [N, 3] then reshape — avoids a
-    # [B, N, 3] norm whose 3-wide minor dim pads 42x
-    grad_norm = jnp.sqrt((gradients * gradients).sum(-1)).reshape(
-        batch_size, n_samples)
+    if g3 is not None and use_fused_color_ray:
+        grad_norm = jnp.sqrt(g3[0] * g3[0] + g3[1] * g3[1]
+                             + g3[2] * g3[2])
+    else:
+        # sqrt-of-sum-of-squares on [N, 3] then reshape — avoids a
+        # [B, N, 3] norm whose 3-wide minor dim pads 42x
+        grad_norm = jnp.sqrt((gradients * gradients).sum(-1)).reshape(
+            batch_size, n_samples)
     gradient_error_raw = (grad_norm - 1.0) ** 2
     eik_num = (relax_inside_sphere * gradient_error_raw).sum()
     eik_den = relax_inside_sphere.sum()
@@ -319,7 +343,9 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         "color": color,
         "sdf": sdf,
         "dists": dists,
-        "gradients": gradients.reshape(batch_size, n_samples, 3),
+        "gradients": (jnp.moveaxis(g3, 0, -1)
+                      if g3 is not None and use_fused_color_ray
+                      else gradients.reshape(batch_size, n_samples, 3)),
         "s_val": 1.0 / inv_s,
         "mid_z_vals": mid_z_vals,
         "weights": weights,

@@ -59,33 +59,38 @@ def test_ray_op_matches_oracle(fc, weight_norm):
     M = B * N
     params = _params(rng, d_feat + d_small, 24, n_layers + 1, weight_norm)
     feat = jnp.asarray(rng.normal(size=(M, d_feat)), jnp.float32)
-    u = jnp.asarray(rng.normal(size=(M, 9)), jnp.float32)
+    o = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
+    z = jnp.asarray(rng.random((B, N)) * 2.0, jnp.float32)
+    g3 = jnp.asarray(rng.normal(size=(3, B, N)), jnp.float32)
     weights = jnp.asarray(rng.random((B, N)), jnp.float32)
+    args = (feat, o, d, z, g3, weights)
 
     assert fc.supported_ray(cfg, N)
-    got = fc.color_fused_ray(params, cfg, feat, u, weights)
-    want = fc.ray_reference(params, cfg, feat, u, weights)
+    got = fc.color_fused_ray(params, cfg, *args)
+    want = fc.ray_reference(params, cfg, *args)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
-    def loss_k(p, s, uu, w):
-        out = fc.color_fused_ray(p, cfg, s, uu, w)
+    def loss_k(p, *a):
+        out = fc.color_fused_ray(p, cfg, *a)
         return (out * jnp.arange(out.size).reshape(out.shape)).sum()
 
-    def loss_r(p, s, uu, w):
-        out = fc.ray_reference(p, cfg, s, uu, w)
+    def loss_r(p, *a):
+        out = fc.ray_reference(p, cfg, *a)
         return (out * jnp.arange(out.size).reshape(out.shape)).sum()
 
-    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(params, feat, u, weights)
-    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(params, feat, u, weights)
+    nums = tuple(range(7))
+    gk = jax.grad(loss_k, argnums=nums)(params, *args)
+    gr = jax.grad(loss_r, argnums=nums)(params, *args)
 
-    # params (incl. weight-norm v/g), feature, u, weights cotangents
+    # params (incl. weight-norm v/g), then every tensor cotangent
+    # (feat, o, d, z, g3, weights)
     flat_k, _ = jax.tree_util.tree_flatten(gk[0])
     flat_r, _ = jax.tree_util.tree_flatten(gr[0])
     for a, b in zip(flat_k, flat_r):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
-    np.testing.assert_allclose(gk[1], gr[1], atol=1e-4, rtol=1e-4)
-    np.testing.assert_allclose(gk[2], gr[2], atol=1e-4, rtol=1e-4)
-    np.testing.assert_allclose(gk[3], gr[3], atol=1e-4, rtol=1e-4)
+    for i in range(1, 7):
+        np.testing.assert_allclose(gk[i], gr[i], atol=1e-4, rtol=1e-4)
 
 
 def test_render_core_ray_path_matches_xla(fc, monkeypatch):
@@ -153,8 +158,11 @@ def test_ray_op_unpadded_single_tile(fc):
     M = B * N
     params = _params(rng, d_feat + 9 + 6 * L, 16, n_layers + 1, True)
     feat = jnp.asarray(rng.normal(size=(M, d_feat)), jnp.float32)
-    u = jnp.asarray(rng.normal(size=(M, 9)), jnp.float32)
+    o = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
+    z = jnp.asarray(rng.random((B, N)) * 2.0, jnp.float32)
+    g3 = jnp.asarray(rng.normal(size=(3, B, N)), jnp.float32)
     weights = jnp.asarray(rng.random((B, N)), jnp.float32)
-    got = fc.color_fused_ray(params, cfg, feat, u, weights)
-    want = fc.ray_reference(params, cfg, feat, u, weights)
+    got = fc.color_fused_ray(params, cfg, feat, o, d, z, g3, weights)
+    want = fc.ray_reference(params, cfg, feat, o, d, z, g3, weights)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
