@@ -760,6 +760,50 @@ def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, feat_dtype):
     return kernel
 
 
+def _make_fwd_rays_only_kernel(cfg, n_lin, n_samples):
+    skip_in = tuple(cfg.get("skip_in", (4,)))
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    hp = jax.lax.Precision.HIGHEST
+
+    def kernel(*refs):
+        # forward-only sibling of _make_fwd_grad_rays_kernel for the
+        # gradient-free upsample loop (`renderer.py:168-242` runs under
+        # no_grad): per-ray o/d [R, 3] + z [R, N] in, sdf [R, N] out —
+        # no feature, no grad chain, and neither the [M, 3] pts nor a
+        # [M, 1] sdf column (both 42x/128x lane-padded) touch HBM
+        o_ref, d_ref, z_ref = refs[0], refs[1], refs[2]
+        g_ref, f_ref, k_ref = refs[3], refs[4], refs[5]
+        ws = [refs[6 + i][:] for i in range(n_lin - 1)]
+        bs = [refs[5 + n_lin + i][:] for i in range(n_lin - 1)]
+        b_sdf = refs[4 + 2 * n_lin][:]
+        w_last_col = refs[5 + 2 * n_lin][:]
+        sdfbn_ref = refs[6 + 2 * n_lin]
+
+        T = n_samples * z_ref.shape[0]
+        O, Smask = _ray_onehots(T, n_samples)
+        xs, _, _ = _build_xs(o_ref, d_ref, z_ref, O, Smask, hp)
+
+        scale = cfg.get("scale", 1.0)
+        pe = _PETile(xs * scale, g_ref, f_ref, k_ref)
+        xe = pe.xe()
+
+        h = xe
+        for l in range(n_lin - 1):
+            inp = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
+                   if l in skip_in else h)
+            h = _softplus100(_dot(inp, ws[l]) + bs[l])
+        inp_last = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
+                    if (n_lin - 1) in skip_in else h)
+        # same bf16 lane contraction as the fwd+grad kernel's column 0
+        sdf_col = (jax.lax.dot_general(
+            inp_last.astype(jnp.bfloat16), w_last_col.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            + b_sdf) / scale
+        sdfbn_ref[:] = _ray_from_flat(O, Smask, sdf_col, hp)
+
+    return kernel
+
+
 def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
     skip_in = tuple(cfg.get("skip_in", (4,)))
     S = skip_in[0] if skip_in else -1
@@ -1010,6 +1054,41 @@ def _sdf_fwd_grad_rays_impl(ws, bs, o, d, z, cfg_key, n_samples):
         interpret=_interpret(),
     )(o_p, d_p, z_p, G, f, kind, *ws_in, *bs_in, b_sdf, *wts, w_last_col)
     return feat[:B * n_samples], sdf_bn[:B], g3[:, :B]
+
+
+@partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
+def _sdf_only_rays_impl(ws, bs, o, d, z, cfg_key, n_samples):
+    cfg = dict(cfg_key)
+    n_lin = len(ws)
+    rays_per_tile = TILE // n_samples
+    B = z.shape[0]
+    o_p, d_p, z_p, b_pad = _pad_rays(o, d, z, rays_per_tile)
+    grid = (b_pad * n_samples) // TILE
+    (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
+    ws_h = list(ws[:-1])
+    bs_h = list(bs[:-1])
+    b_sdf = bs[-1][:, :1]
+    w_last_col = ws[-1][:, 0][None, :]
+    kernel = _make_fwd_rays_only_kernel(cfg, n_lin, n_samples)
+    ray3_spec = pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    rayn_spec = pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    sdf_bn = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[ray3_spec, ray3_spec, rayn_spec]
+        + table_specs + _weight_specs(ws_h, bs_h)
+        + [pl.BlockSpec(b_sdf.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec(w_last_col.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=rayn_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_samples), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(o_p, d_p, z_p, G, f, kind, *ws_h, *bs_h, b_sdf, w_last_col)
+    return sdf_bn[:B]
 
 
 @partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
@@ -1276,6 +1355,21 @@ def sdf_apply_grad_fused_rays(params, cfg, rays_o, rays_d, z_mid):
     per-ray through pts = o + d*z (obar/dbar [B, 3], zbar [B, N]).
     Requires TILE % N == 0 (each tile holds whole rays)."""
     return _sdf_rays_op(params, _cfg_key(cfg), rays_o, rays_d, z_mid)
+
+
+def sdf_only_fused_rays(params, cfg, rays_o, rays_d, z_vals):
+    """sdf [B, N] at pts = o + d*z, geometry built IN-KERNEL.
+
+    Forward-only: the SDF-guided upsample loop runs under stop_gradient
+    (`renderer.py:424` torch.no_grad), so no vjp is defined — calls from
+    a differentiated region fail loudly rather than silently detaching.
+    Matches sdf_only_fused(pts)[:, 0] up to the shared bf16 matmul
+    rounding (identical contraction order for the sdf column)."""
+    cfg_key = _cfg_key(cfg)
+    ws, bs = _materialize(params, dict(cfg_key))
+    return _sdf_only_rays_impl(
+        jax.lax.stop_gradient(ws), jax.lax.stop_gradient(bs),
+        rays_o, rays_d, z_vals, cfg_key, z_vals.shape[1])
 
 
 # below this many total samples the rays variant loses to the plain

@@ -20,6 +20,7 @@ Numerics match the reference exactly: sigmoid-CDF alpha
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -65,6 +66,26 @@ def _sdf_only_fn(model_cfg):
     return lambda params, x: nets.sdf_only(params, sdf_cfg, x)
 
 
+def _sdf_bn(params, model_cfg, rays_o, rays_d, z_vals):
+    """sdf [B, N] at o + d*z for the gradient-free upsample loop.
+
+    Uses the per-ray fused kernel when eligible (pts built in-kernel —
+    the flat [M, 3] pts and [M, 1] sdf column both lane-pad 42x/128x on
+    TPU), else the flat path through _sdf_only_fn."""
+    sdf_cfg = model_cfg["sdf"]
+    if ((sdf_cfg.get("use_fused", False)
+         or sdf_cfg.get("use_fused_train", False))
+            and os.environ.get("FMOV_FUSED_UPSAMPLE", "1") == "1"):
+        from fmov_pose_tpu.ops import fused_sdf
+        if fused_sdf.supported_rays(sdf_cfg, z_vals.shape[1], z_vals.size):
+            return fused_sdf.sdf_only_fused_rays(
+                params["sdf"], sdf_cfg, rays_o, rays_d, z_vals)
+    batch_size, n = z_vals.shape
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
+    sdf = _sdf_only_fn(model_cfg)(params["sdf"], pts.reshape(-1, 3))
+    return sdf.reshape(batch_size, n)
+
+
 def _transmittance_weights(alpha: jnp.ndarray) -> jnp.ndarray:
     """weights = alpha * cumprod([1, 1-alpha+1e-7])[:, :-1] (`renderer.py:337-342`)."""
     ones = jnp.ones_like(alpha[..., :1])
@@ -108,13 +129,9 @@ def cat_z_vals(params, model_cfg, rays_o, rays_d, z_vals, new_z_vals, sdf, last:
 
     Both inputs are per-ray ascending (sample_pdf draws from a monotone
     CDF), so the argsort becomes a gather-free two-list merge."""
-    batch_size, n_samples = z_vals.shape
-    _, n_importance = new_z_vals.shape
     if last:
         return merge_sorted(z_vals, new_z_vals), sdf
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
-    new_sdf = _sdf_only_fn(model_cfg)(params["sdf"], pts.reshape(-1, 3))
-    new_sdf = new_sdf.reshape(batch_size, n_importance)
+    new_sdf = _sdf_bn(params, model_cfg, rays_o, rays_d, new_z_vals)
     return merge_sorted(z_vals, new_z_vals, sdf, new_sdf)
 
 
@@ -225,7 +242,6 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         # (glue_probe.py: ~22 ms at 1M samples) never touch HBM.
         # Incompatible with NeRF++ background mixing (needs per-sample
         # colors) — falls back to the featfirst path there.
-        import os
         use_fused_color_ray = (
             use_fused_color and background_alpha is None
             and fused_color.supported_ray(color_cfg, n_samples)
@@ -404,9 +420,7 @@ def render(key, params, model_cfg, rays_o, rays_d, near, far,
     elif cfg.n_importance > 0:
         # SDF-guided upsampling is gradient-free (`renderer.py:424` no_grad)
         def _upsample(z_vals):
-            pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
-            sdf = _sdf_only_fn(model_cfg)(params["sdf"], pts.reshape(-1, 3))
-            sdf = sdf.reshape(batch_size, cfg.n_samples)
+            sdf = _sdf_bn(params, model_cfg, rays_o, rays_d, z_vals)
             for i in range(cfg.up_sample_steps):
                 new_z = up_sample(
                     params, model_cfg, rays_o, rays_d, z_vals, sdf,

@@ -149,6 +149,36 @@ def test_render_core_ray_path_matches_xla(fc, monkeypatch):
         assert np.linalg.norm(a - b) <= 5e-3 * max(bn, 1e-3), (a.shape, an, bn)
 
 
+def test_sdf_only_rays_matches_flat(monkeypatch):
+    """Forward-only rays SDF kernel (the upsample-loop path) vs the
+    unfused flat oracle: primal values at production net widths,
+    including the ray-padding path (B not a multiple of rays/tile)."""
+    monkeypatch.setenv("FMOV_PALLAS_INTERPRET", "1")
+    import __graft_entry__ as ge
+    from fmov_pose_tpu.fields import nets
+    from fmov_pose_tpu.ops import fused_sdf
+
+    monkeypatch.setattr(fused_sdf, "TILE", 32)
+    hp = jax.lax.Precision.HIGHEST
+    monkeypatch.setattr(fused_sdf, "_dot",
+                        lambda a, b: jnp.dot(a, b, precision=hp))
+
+    sdf_cfg = ge.SDF_CFG
+    params = nets.init_sdf(jax.random.key(3), sdf_cfg)
+    rng = np.random.default_rng(5)
+    for B, N in ((6, 16), (4, 8)):   # 16 | 32 exact tiles; 8 -> padding
+        o = jnp.asarray(rng.normal(size=(B, 3)) * 0.4, jnp.float32)
+        d = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
+        z = jnp.asarray(np.sort(rng.random((B, N)) * 2.0, -1), jnp.float32)
+        assert fused_sdf.supported_rays(sdf_cfg, N)
+        got = fused_sdf.sdf_only_fused_rays(params, sdf_cfg, o, d, z)
+        pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
+        want = nets.sdf_only(params, sdf_cfg, pts).reshape(B, N)
+        # the sdf column contraction is bf16 in-kernel (as in the
+        # fwd+grad rays kernel); a layout/indexing bug would be O(1)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=5e-3)
+
+
 def test_ray_op_unpadded_single_tile(fc):
     rng = np.random.default_rng(1)
     d_feat, L, n_layers = 8, 1, 1
