@@ -13,6 +13,8 @@ Subcommands:
   run-ref   train the unmodified reference (torch CPU via
             scripts/run_reference.py; hours — run in background)
   run-ours  train fmov-tpu through its CLI (TPU by default; minutes)
+  psnr-eval render every frame at each side's learned phase-2 pose and
+            PSNR it against the GT image (same formula both sides)
   score     parse/compute phase-1 ATE, phase-2 ATE/RPE, render PSNR,
             mesh Chamfer for both sides -> HEADTOHEAD.md
 
@@ -144,6 +146,62 @@ def run_ours(work, device="tpu"):
     return rc
 
 
+OURS_PSNR_DRIVER = """
+import os, sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+from fmov_pose_tpu.train.runner import Runner
+runner = Runner({conf!r}, "psnr_eval", {case!r}, "HO3D", True,
+                exp_dir={exp_dir!r}, has_global_conf=True)
+vals = []
+for idx in range(runner.dataset.n_images):
+    stacked = runner.validate_image(idx, resolution_level={rl},
+                                    return_img=True)
+    h = stacked.shape[0] // 2
+    render, gt = stacked[:h].astype(np.float64), stacked[h:].astype(np.float64)
+    psnr = 10 * np.log10(255.0 ** 2 / max(((render - gt) ** 2).mean(), 1e-9))
+    vals.append(psnr)
+    print(f"H2H_PSNR {{idx}} {{psnr:.4f}}", flush=True)
+print(f"H2H_PSNR_MEAN {{np.mean(vals):.4f}}", flush=True)
+"""
+
+
+def psnr_eval(work, device="cpu", resolution_level=2):
+    """Render every frame at each side's learned phase-2 pose and PSNR it
+    against the GT image (same formula both sides, logs parsed by score)."""
+    rc = 0
+    wd = os.path.join(work, "ref")
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "run_reference.py"),
+           "--conf", "./confs/ho3d_global_womask.conf", "--case", "SYN",
+           "--mode", "psnr_eval", "--is_continue",
+           "--resolution_level", str(resolution_level),
+           "--exp_dir", "./exp/SYN_ori/ours/ho3d_global_womask"]
+    log = os.path.join(work, "ref_psnr.log")
+    print("+", " ".join(cmd), "\nlog ->", log)
+    with open(log, "w") as f:
+        rc |= subprocess.call(cmd, cwd=wd, stdout=f,
+                              stderr=subprocess.STDOUT)
+
+    wd = os.path.join(work, "ours")
+    env = dict(os.environ)
+    paths = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if device == "cpu":
+        paths = [p for p in paths if "axon_site" not in p]
+        env["JAX_PLATFORMS"] = "cpu"
+    elif not any("axon_site" in p for p in paths):
+        paths.append("/root/.axon_site")
+    env["PYTHONPATH"] = os.pathsep.join(paths)
+    driver = OURS_PSNR_DRIVER.format(
+        repo=REPO, conf="./confs/ho3d_global_womask.conf", case="SYN",
+        exp_dir="./exp/SYN_ori/ours/ho3d_global_womask", rl=resolution_level)
+    log = os.path.join(work, "ours_psnr.log")
+    print("+ [ours psnr driver] log ->", log)
+    with open(log, "w") as f:
+        rc |= subprocess.call([sys.executable, "-c", driver], cwd=wd,
+                              env=env, stdout=f, stderr=subprocess.STDOUT)
+    return rc
+
+
 # ---------------------------------------------------------------- scoring
 
 def gt_poses(work):
@@ -248,6 +306,13 @@ def score(work):
             if vals:
                 res["train_psnr_last"] = vals[-1]
 
+        # all-frame render PSNR from the psnr-eval subcommand
+        psnr_log = os.path.join(work, f"{side}_psnr.log")
+        if os.path.exists(psnr_log):
+            m = re.search(r"H2H_PSNR_MEAN ([0-9.]+)", open(psnr_log).read())
+            if m:
+                res["psnr_mean"] = float(m.group(1))
+
     print(json.dumps(out, indent=2))
     with open(os.path.join(work, "score.json"), "w") as f:
         json.dump(out, f, indent=2)
@@ -270,6 +335,8 @@ def write_report(work, out, path=os.path.join(REPO, "HEADTOHEAD.md")):
             rows.append((f"{phase} {k}", r, o))
     rows.append(("final mesh chamfer",
                  out["ref"].get("chamfer"), out["ours"].get("chamfer")))
+    rows.append(("phase2 render PSNR (dB, higher better)",
+                 out["ref"].get("psnr_mean"), out["ours"].get("psnr_mean")))
     lines = [
         "# Head-to-head: fmov-tpu vs the trained PyTorch reference",
         "",
@@ -293,7 +360,8 @@ def write_report(work, out, path=os.path.join(REPO, "HEADTOHEAD.md")):
                      f" {_fmt(o) if o is not None else '-'} | {ratio} |")
     lines += [
         "",
-        "Lower is better on every metric. ATE/RPE are Sim(3)-aligned",
+        "Lower is better on every metric except PSNR. ATE/RPE are",
+        "Sim(3)-aligned",
         "against the synthetic GT orbit; chamfer is vs the analytic",
         "unit-sphere GT after center/scale alignment (the same protocol",
         "for both sides).",
@@ -307,7 +375,7 @@ def write_report(work, out, path=os.path.join(REPO, "HEADTOHEAD.md")):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=("prepare", "run-ref", "run-ours",
-                                    "score"))
+                                    "psnr-eval", "score"))
     ap.add_argument("--work", default="/root/hth")
     ap.add_argument("--device", choices=("tpu", "cpu"), default="tpu")
     args = ap.parse_args()
@@ -317,6 +385,8 @@ def main():
         sys.exit(run_ref(args.work))
     elif args.cmd == "run-ours":
         sys.exit(run_ours(args.work, args.device))
+    elif args.cmd == "psnr-eval":
+        sys.exit(psnr_eval(args.work, args.device))
     elif args.cmd == "score":
         score(args.work)
 

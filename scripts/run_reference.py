@@ -112,6 +112,9 @@ def main():
     parser.add_argument("--is_continue", default=False, action="store_true")
     parser.add_argument("--start_at", type=int, default=-1)
     parser.add_argument("--start_img_idx", type=int, default=0)
+    parser.add_argument("--exp_dir", type=str, default=None,
+                        help="override base_exp_dir (phase-2 subdir evals)")
+    parser.add_argument("--resolution_level", type=int, default=2)
     parser.add_argument("--final_mesh_resolution", type=int, default=128,
                         help="resolution for the post-training mesh "
                              "(reference main uses 512; hours on 1 CPU core)")
@@ -137,7 +140,9 @@ def main():
     runner = ref.Runner(
         args.conf, args.mode, args.case, args.dataset, args.is_continue,
         args.start_at, args.start_img_idx, False,
-        has_global_conf=args.global_conf != "None" or "GT.conf" in args.conf,
+        exp_dir=args.exp_dir,
+        has_global_conf=(args.global_conf != "None" or "GT.conf" in args.conf
+                         or args.exp_dir is not None),
         flow_interval=-1, reset_rot_degree=-1, image_interval=-1,
     )
     print("mode: ", args.mode, flush=True)
@@ -192,6 +197,26 @@ def main():
                 runner.render_poses()
             runner.validate_mesh(resolution=args.final_mesh_resolution,
                                  use_norml_color=True)
+    elif args.mode == "psnr_eval":
+        # render every frame at the learned pose vs GT image; the stacked
+        # return of validate_image (`exp_runner.py:1511-1518`) is
+        # [render; gt] vertically
+        import numpy as np
+        import torch
+        vals = []
+        with torch.no_grad():
+            for idx in range(runner.dataset.n_images):
+                stacked = runner.validate_image(
+                    idx, resolution_level=args.resolution_level,
+                    return_img=True)
+                h = stacked.shape[0] // 2
+                render, gt = stacked[:h].astype(np.float64), \
+                    stacked[h:].astype(np.float64)
+                mse = max(((render - gt) ** 2).mean(), 1e-9)
+                psnr = 10 * np.log10(255.0 ** 2 / mse)
+                vals.append(psnr)
+                print(f"H2H_PSNR {idx} {psnr:.4f}", flush=True)
+        print(f"H2H_PSNR_MEAN {np.mean(vals):.4f}", flush=True)
     elif args.mode == "validate_poses":
         runner.validate_poses()
     elif args.mode == "validate_mesh":
