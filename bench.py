@@ -97,6 +97,10 @@ def build(batch_size, use_fused_train=False, phase2=False,
     packed = step_mod.pack_scalars_np(
         5e-4, 1.0, 1.0, 1.0, 1.0, 1.0, 1, 0, 0,
         np.ones(n_seg), np.ones(n_seg), np.full(n_seg, 5e-4))
+    # expose the pieces probes need (scripts/phase2_probe.py isolates the
+    # optimizer / raygen shares of the step without rebuilding the config)
+    photo_step.cfg = cfg
+    photo_step.data = (images, masks, intr_inv, bbox)
     return photo_step, state, packed
 
 

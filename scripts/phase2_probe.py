@@ -11,6 +11,7 @@ Env: FMOV_KERNEL_TILE to vary the Pallas tile width.
 
 import argparse
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -18,9 +19,12 @@ import numpy as np
 
 import bench
 import __graft_entry__ as ge
+from fmov_pose_tpu.data import rays as raygen
 from fmov_pose_tpu.fields import nets
 from fmov_pose_tpu.ops import fused_color, fused_sdf
+from fmov_pose_tpu.poses import picture_pose as pp
 from fmov_pose_tpu.render import neus
+from fmov_pose_tpu.train import step as step_mod
 
 
 def timeit(f, *args, n=20, warmup=3):
@@ -54,6 +58,47 @@ def main():
     t_step = 1.0 / t_step
     print(f"full step   ({n_rays} rays x {n_total}): {t_step*1e3:8.2f} ms "
           f"-> {n_rays/t_step:,.0f} rays/s")
+
+    # --- glue decomposition: optimizer alone, raygen alone -------------
+    cfg = photo_step.cfg
+    images, masks, intr_inv_all, bbox_table = photo_step.data
+    scalars, img_id, add_img_id, _ = step_mod.unpack_scalars(
+        jnp.asarray(packed), cfg.n_segments)
+
+    @jax.jit
+    def opt_only(state, g_params, g_bank):
+        new_params, new_opt, new_bank, new_pose_opt = step_mod._apply_updates(
+            cfg, state, g_params, g_bank, scalars)
+        return new_params, new_opt, new_bank, new_pose_opt
+
+    g_params = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 1e-4), state.params)
+    g_bank = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 1e-4), state.pose_bank["train"])
+    t = timeit(opt_only, state, g_params, g_bank)
+    print(f"optimizer (main+seg Adam) alone: {t*1e3:8.2f} ms")
+
+    @jax.jit
+    def raygen_only(state, key):
+        bank = state.pose_bank
+        k1, k2 = jax.random.split(key)
+        pose0 = step_mod.pose_of_frame(cfg, state.params, bank,
+                                       state.pose_static, img_id)
+        data = raygen.gen_random_rays(
+            k1, images, masks, intr_inv_all, pose0, img_id, cfg.batch_size,
+            bbox_table, cfg.mask_guided_patch_size, cfg.mask_guided_sampling,
+            cfg.H, cfg.W, mask_guided_active=scalars.mask_guided)
+        pose_a = step_mod.pose_of_frame(cfg, state.params, bank,
+                                        state.pose_static, add_img_id)
+        add = raygen.gen_random_rays(
+            k2, images, masks, intr_inv_all, pose_a, add_img_id,
+            cfg.batch_size, bbox_table, cfg.mask_guided_patch_size,
+            cfg.mask_guided_sampling, cfg.H, cfg.W,
+            mask_guided_active=scalars.mask_guided)
+        return jnp.concatenate([data, add], axis=0).sum()
+
+    t = timeit(raygen_only, state, jax.random.key(3))
+    print(f"raygen (2x gen_random_rays) fwd: {t*1e3:8.2f} ms")
 
     model_cfg = ge._model_cfg(n_samples=64, n_importance=64)
     model_cfg = dict(model_cfg)
