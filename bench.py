@@ -104,6 +104,83 @@ def build(batch_size, use_fused_train=False, phase2=False,
     return photo_step, state, packed
 
 
+def build_phase2_gf(batch_size, k_steps=10, occupancy=False):
+    """The REAL phase-2 step shape: gf pose, no flow/mask/maintain_shape,
+    64+64 fused samples, trained via the Runner's lax.scan fast path
+    (train.scan_steps — phase-2 confs are scan-eligible, runner.py
+    _scan_eligible). The per-step photo_step cases above pay a
+    ~10-15 ms host->device dispatch round-trip through the tunnel per
+    iteration that real phase-2 training amortizes over scan_chunk.
+    Returns (scan_fn, state, n_images_arr, k_steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from fmov_pose_tpu.poses import picture_pose as pp
+    from fmov_pose_tpu.render import occupancy as occ_mod
+    from fmov_pose_tpu.fields import nets
+    from fmov_pose_tpu.train import optim, step as step_mod
+
+    model_cfg = dict(ge._model_cfg(n_samples=64, n_importance=64))
+    for net in ("sdf", "color", "nerf"):
+        model_cfg[net] = dict(model_cfg[net], compute_dtype="bfloat16")
+    model_cfg["sdf"]["use_fused_train"] = True
+    params = ge._field_params(jax.random.key(0))
+
+    n_images, H, W = 8, 480, 480
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((3, n_images, H, W)), jnp.float32)
+    masks = jnp.asarray((rng.random((n_images, H, W)) > 0.5), jnp.float32)
+    intr = np.eye(4, dtype=np.float32)
+    intr[0, 0] = intr[1, 1] = 500.0
+    intr[0, 2] = intr[1, 2] = 240.0
+    intr_inv = jnp.asarray(
+        np.linalg.inv(intr)[None].repeat(n_images, 0), jnp.float32)
+    bbox = jnp.asarray(np.tile([100, 380, 100, 380], (n_images, 1)), jnp.int32)
+
+    pose_cfg = pp.PoseCfg(emphasize_rot=True)
+    init_pose = np.eye(4, dtype=np.float32)
+    init_pose[2, 3] = -2.0
+    gf = pp.init_gf(0, pose_cfg, np.tile(init_pose, (n_images, 1, 1)))
+    params["pose"] = gf["train"]
+    pose_static = dict(gf["static"])
+    if occupancy:
+        pts = jnp.asarray(occ_mod.make_grid_points(64))
+        sdf = nets.sdf_only(params["sdf"], model_cfg["sdf"], pts)[:, 0]
+        pose_static["occ_grid"] = occ_mod.update_occ_grid(sdf, 64)
+
+    cfg = step_mod.make_step_config(
+        model_cfg, batch_size=batch_size, H=H, W=W, n_segments=1,
+        segment_img_num=1, pose_mode="gf", pose_cfg=pose_cfg,
+        igr_weight=0.1, mask_weight=0.0, flow_weight=0.0,
+        mask_guided_sampling=True, mask_guided_patch_size=10,
+        maintain_shape=False, occupancy_sampling=occupancy)
+    state = step_mod.TrainState(
+        params=params, opt=optim.adam_init(params), pose_bank={},
+        pose_opt=(), pose_static=pose_static,
+        key=jax.random.key(1), iter_step=jnp.zeros((), jnp.int32))
+    schedule = {"learning_rate": 5e-4, "learning_rate_alpha": 0.05,
+                "warm_up_end": 0, "end_iter": 150000, "anneal_end": 0.0,
+                "mask_guided": 1.0}
+    scan = step_mod.make_scan_photo_steps(
+        cfg, images, masks, intr_inv, bbox, schedule, k_steps)
+    return scan, state, jnp.asarray(n_images, jnp.int32), k_steps
+
+
+def time_scan(scan, state, n_images, k_steps, warmup=1, iters=5):
+    """steps/sec through the scanned dispatch (k_steps per call)."""
+    import jax
+    for _ in range(warmup):
+        state, metrics = scan(state, n_images)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = scan(state, n_images)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return iters * k_steps / dt, state
+
+
 def step_flops(photo_step, state, packed):
     """Model FLOPs of one compiled step via XLA cost analysis (0.0 if the
     backend does not expose it). Used to report achieved TF/s (MFU) so the
@@ -188,6 +265,16 @@ def main():
             if not phase2:
                 best = max(best, rays_per_sec)
         except Exception as e:  # keep the bench alive on OOM etc.
+            details[tag] = f"failed: {str(e)[:120]}"
+    # the shipped phase-2 configuration: gf pose, no flow/mask, scan
+    # dispatch (what Runner._train_scan actually runs in phase 2)
+    for occ in (False, True):
+        tag = "batch_4096_fusedbwd_phase2_gfscan" + ("_occ" if occ else "")
+        try:
+            scan, state, n_img, k = build_phase2_gf(4096, occupancy=occ)
+            steps_per_sec, _ = time_scan(scan, state, n_img, k)
+            details[tag] = round(steps_per_sec * 4096)
+        except Exception as e:
             details[tag] = f"failed: {str(e)[:120]}"
     base, base_src = baseline_rays_per_sec()
     details["baseline_rays_per_sec"] = round(base, 1)
