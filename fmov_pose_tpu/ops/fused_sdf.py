@@ -1387,6 +1387,280 @@ def supported_rays(cfg, n_samples: int, n_pts: int = None) -> bool:
     return ok
 
 
+# ------------------------------------------------------------------
+# Whole-upsample-loop kernel (round 3): the SDF-guided hierarchical
+# sampling loop (`renderer.py:374-446`: 4x {section alpha -> weights ->
+# inverse-CDF draw -> SDF eval at new z -> sorted merge}) runs start to
+# finish in ONE forward-only pallas kernel.  The XLA loop — even with
+# fused per-round evals — still pays 4 variadic lax.sorts, 4 compare-all
+# sample_pdf passes and 5 kernel-boundary crossings per step (~10 ms of
+# the phase-2 step at 8192x128 on v5e).  In VMEM per ray tile:
+#   * transmittance cumprod / CDF cumsum: log-step lane-shift trees,
+#   * inverse-CDF draw: the det-mode u grid is static, so each of the k
+#     draws is a handful of masked lane reductions,
+#   * merge: k sequential sorted insertions (ascending draws ->
+#     stable-tie equivalent to the variadic sort in core/sampling.py),
+# and the per-round SDF evals reuse the in-kernel PE+MLP of
+# _make_fwd_rays_only_kernel.  Forward-only: the loop runs under
+# stop_gradient (`renderer.py:424` no_grad), no vjp is defined.
+# Gated by FMOV_FUSED_UPSAMPLE_FULL (default OFF until validated on a
+# real chip — interpret mode cannot catch Mosaic lowering failures; set
+# =1 to enable) on top of the usual fused-train + size gates.
+# ------------------------------------------------------------------
+
+_SENT = 1e10      # sentinel for not-yet-filled z lanes (sorts after all z)
+_BIG = 1e30       # masked-reduction identity
+
+
+def _shr_lanes(x, n, fill):
+    """Shift right by n along the lane (last) dim, filling with `fill`."""
+    return jnp.concatenate(
+        [jnp.full(x.shape[:-1] + (n,), fill, x.dtype), x[..., :-n]], axis=-1)
+
+
+def _shl_lanes(x, n, fill):
+    return jnp.concatenate(
+        [x[..., n:], jnp.full(x.shape[:-1] + (n,), fill, x.dtype)], axis=-1)
+
+
+def _cumsum_lanes(x, width):
+    """Inclusive prefix sum along lanes (log-step shifted adds)."""
+    s = 1
+    while s < width:
+        x = x + _shr_lanes(x, s, 0.0)
+        s *= 2
+    return x
+
+
+def _cumprod_excl_lanes(q, width):
+    """Exclusive prefix product along lanes: out[j] = prod_{i<j} q[i]."""
+    s = 1
+    p = q
+    while s < width:
+        p = p * _shr_lanes(p, s, 1.0)
+        s *= 2
+    return _shr_lanes(p, 1, 1.0)
+
+
+def _make_upsample_rays_kernel(cfg, n_lin, n0, k, steps, inv_s_base):
+    skip_in = tuple(cfg.get("skip_in", (4,)))
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    hp = jax.lax.Precision.HIGHEST
+    W = n0 + k * steps
+    u_grid = np.linspace(0.5 / k, 1.0 - 0.5 / k, k).astype(np.float64)
+
+    def kernel(*refs):
+        o_ref, d_ref, z0_ref = refs[0], refs[1], refs[2]
+        g_ref, f_ref, k_ref = refs[3], refs[4], refs[5]
+        ws = [refs[6 + i][:] for i in range(n_lin - 1)]
+        bs = [refs[5 + n_lin + i][:] for i in range(n_lin - 1)]
+        b_sdf = refs[4 + 2 * n_lin][:]
+        w_last_col = refs[5 + 2 * n_lin][:]
+        zout_ref = refs[6 + 2 * n_lin]
+
+        R = z0_ref.shape[0]
+        o = o_ref[:]
+        d = d_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+
+        def eval_sdf(zblock, n):
+            """sdf [R, n] at pts = o + d*z — the fwd-only rays MLP."""
+            T = R * n
+            O, Smask = _ray_onehots(T, n)
+            o_t = jnp.dot(O, o, precision=hp)
+            d_t = jnp.dot(O, d, precision=hp)
+            z_flat = _flat_from_ray(O, Smask, zblock, hp)
+            xs = o_t + d_t * z_flat
+            pe = _PETile(xs * cfg.get("scale", 1.0), g_ref, f_ref, k_ref)
+            xe = pe.xe()
+            h = xe
+            for l in range(n_lin - 1):
+                inp = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
+                       if l in skip_in else h)
+                h = _softplus100(_dot(inp, ws[l]) + bs[l])
+            inp_last = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
+                        if (n_lin - 1) in skip_in else h)
+            sdf_col = (jax.lax.dot_general(
+                inp_last.astype(jnp.bfloat16),
+                w_last_col.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+                + b_sdf) / cfg.get("scale", 1.0)
+            return _ray_from_flat(O, Smask, sdf_col, hp)
+
+        # ray-constant radius coefficients: |o + z d|^2 expanded
+        o2 = jnp.sum(o * o, axis=-1, keepdims=True)
+        od = jnp.sum(o * d, axis=-1, keepdims=True)
+        d2 = jnp.sum(d * d, axis=-1, keepdims=True)
+
+        pad = W - n0
+        zbuf = jnp.concatenate(
+            [z0_ref[:], jnp.full((R, pad), _SENT, jnp.float32)], axis=-1)
+        sdfbuf = jnp.concatenate(
+            [eval_sdf(z0_ref[:], n0), jnp.zeros((R, pad), jnp.float32)],
+            axis=-1)
+
+        for i in range(steps):
+            n_i = n0 + i * k
+            inv_s = inv_s_base * 2.0 ** i
+            # --- section alpha on the current union (up_sample math) ---
+            z_next = _shl_lanes(zbuf, 1, _SENT)
+            s_next = _shl_lanes(sdfbuf, 1, 0.0)
+            rad = o2 + 2.0 * zbuf * od + zbuf * zbuf * d2
+            rad_next = _shl_lanes(rad, 1, _SENT)
+            inside = ((rad < 1.0) | (rad_next < 1.0)).astype(jnp.float32)
+            mid_sdf = (sdfbuf + s_next) * 0.5
+            cos_val = (s_next - sdfbuf) / (z_next - zbuf + 1e-5)
+            prev_cos = _shr_lanes(cos_val, 1, 0.0)
+            cos_val = jnp.minimum(prev_cos, cos_val)
+            cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside
+            dist = z_next - zbuf
+            prev_cdf = jax.nn.sigmoid((mid_sdf - cos_val * dist * 0.5)
+                                      * inv_s)
+            next_cdf = jax.nn.sigmoid((mid_sdf + cos_val * dist * 0.5)
+                                      * inv_s)
+            alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+            ivalid = lane < (n_i - 1)
+            alpha = jnp.where(ivalid, alpha, 0.0)
+            q = jnp.where(ivalid, 1.0 - alpha + 1e-7, 1.0)
+            weights = alpha * _cumprod_excl_lanes(q, W)
+
+            # --- sample_pdf (det mode), masked compare-all ---
+            w = jnp.where(ivalid, weights + 1e-5, 0.0)
+            pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+            cdf_edge = _shr_lanes(_cumsum_lanes(pdf, W), 1, 0.0)
+            evalid = lane < n_i
+            last_cdf = jnp.max(jnp.where(evalid, cdf_edge, -_BIG),
+                               axis=-1, keepdims=True)
+            last_bin = jnp.max(jnp.where(evalid, zbuf, -_BIG),
+                               axis=-1, keepdims=True)
+            cols = []
+            for u in u_grid:
+                u = float(u)
+                le = evalid & (cdf_edge <= u)
+                # count == 0 is impossible: edge 0 has cdf 0 <= u (u > 0)
+                cnt = jnp.sum(le.astype(jnp.float32), axis=-1,
+                              keepdims=True)
+                cdf_b = jnp.max(jnp.where(le, cdf_edge, -_BIG),
+                                axis=-1, keepdims=True)
+                bin_b = jnp.max(jnp.where(le, zbuf, -_BIG),
+                                axis=-1, keepdims=True)
+                gt = evalid & jnp.logical_not(le)
+                cdf_a = jnp.min(jnp.where(gt, cdf_edge, _BIG),
+                                axis=-1, keepdims=True)
+                bin_a = jnp.min(jnp.where(gt, zbuf, _BIG),
+                                axis=-1, keepdims=True)
+                empty_hi = cnt >= float(n_i)
+                cdf_a = jnp.where(empty_hi, last_cdf, cdf_a)
+                bin_a = jnp.where(empty_hi, last_bin, bin_a)
+                denom = cdf_a - cdf_b
+                denom = jnp.where(denom < 1e-5, jnp.ones_like(denom),
+                                  denom)
+                cols.append(bin_b + (u - cdf_b) / denom * (bin_a - bin_b))
+            new_z = jnp.concatenate(cols, axis=-1)          # [R, k] asc
+
+            # --- SDF at the new samples (skipped on the last round,
+            #     `renderer.py:222-242` last=True) ---
+            if i + 1 < steps:
+                new_sdf = eval_sdf(new_z, k)
+            else:
+                new_sdf = jnp.zeros((R, k), jnp.float32)
+
+            # --- k sorted insertions == stable two-list merge: draws
+            #     ascend, so insert-after-equals reproduces the variadic
+            #     sort's tie order (all existing before new) ---
+            for j in range(k):
+                b_j = new_z[:, j:j + 1]
+                s_j = new_sdf[:, j:j + 1]
+                cur_n = n_i + j
+                le_z = (zbuf <= b_j) & (lane < cur_n)
+                cnt = jnp.sum(le_z.astype(jnp.float32), axis=-1,
+                              keepdims=True).astype(jnp.int32)
+                z_sh = _shr_lanes(zbuf, 1, 0.0)
+                s_sh = _shr_lanes(sdfbuf, 1, 0.0)
+                at = lane == cnt
+                before = lane < cnt
+                zbuf = jnp.where(before, zbuf, jnp.where(at, b_j, z_sh))
+                sdfbuf = jnp.where(before, sdfbuf,
+                                   jnp.where(at, s_j, s_sh))
+
+        zout_ref[:] = zbuf
+
+    return kernel
+
+
+UPSAMPLE_TILE_RAYS = int(os.environ.get("FMOV_UPSAMPLE_TILE_RAYS", "32"))
+
+
+@partial(jax.jit, static_argnames=("cfg_key", "n0", "k", "steps",
+                                   "inv_s_base"))
+def _upsample_rays_impl(ws, bs, o, d, z0, cfg_key, n0, k, steps,
+                        inv_s_base):
+    cfg = dict(cfg_key)
+    n_lin = len(ws)
+    W = n0 + k * steps
+    R = UPSAMPLE_TILE_RAYS
+    B = z0.shape[0]
+    o_p, d_p, z_p, b_pad = _pad_rays(o, d, z0, R)
+    grid = b_pad // R
+    (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
+    ws_h = list(ws[:-1])
+    bs_h = list(bs[:-1])
+    b_sdf = bs[-1][:, :1]
+    w_last_col = ws[-1][:, 0][None, :]
+    kernel = _make_upsample_rays_kernel(cfg, n_lin, n0, k, steps,
+                                        inv_s_base)
+    ray3_spec = pl.BlockSpec((R, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    z0_spec = pl.BlockSpec((R, n0), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    z_full = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[ray3_spec, ray3_spec, z0_spec]
+        + table_specs + _weight_specs(ws_h, bs_h)
+        + [pl.BlockSpec(b_sdf.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec(w_last_col.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((R, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b_pad, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(o_p, d_p, z_p, G, f, kind, *ws_h, *bs_h, b_sdf, w_last_col)
+    return z_full[:B]
+
+
+def upsample_fused_rays(params, cfg, rays_o, rays_d, z_vals, n_importance,
+                        steps, inv_s_base=64.0):
+    """z [B, n0 + n_importance] — the full SDF-guided upsample loop
+    (`renderer.py:423-446`: up_sample/cat_z_vals x steps) in one
+    forward-only kernel.  z_vals [B, n0] must be per-ray ascending (it
+    is: linspace + per-ray scalar perturb).  No vjp — the loop runs
+    under stop_gradient; calls from a differentiated region fail loudly."""
+    cfg_key = _cfg_key(cfg)
+    ws, bs = _materialize(params, dict(cfg_key))
+    k = n_importance // steps
+    return _upsample_rays_impl(
+        jax.lax.stop_gradient(ws), jax.lax.stop_gradient(bs),
+        rays_o, rays_d, z_vals, cfg_key, z_vals.shape[1], k, steps,
+        float(inv_s_base))
+
+
+def supported_upsample(cfg, n0: int, n_importance: int, steps: int,
+                       n_pts: int = None) -> bool:
+    """Gate for upsample_fused_rays: same fused-train support + the
+    det-mode shape contract (equal draws per round, <= 128 lanes)."""
+    if not supported(cfg) or steps <= 0:
+        return False
+    k = n_importance // steps
+    ok = (k >= 1 and k * steps == n_importance and n0 + n_importance <= 128)
+    if n_pts is not None:
+        ok = ok and n_pts >= MIN_SAMPLES_RAYS
+    return ok
+
+
 def sdf_apply_grad_fused(params, cfg, x):
     """(out [N, d_out], grad [N, 3]) in one fused kernel, with a fused
     second-order backward (set FMOV_FUSED_BWD=0 for the XLA reference)."""

@@ -419,18 +419,42 @@ def render(key, params, model_cfg, rays_o, rays_d, near, far,
         n_samples_total = cfg.n_samples + cfg.n_importance
     elif cfg.n_importance > 0:
         # SDF-guided upsampling is gradient-free (`renderer.py:424` no_grad)
-        def _upsample(z_vals):
-            sdf = _sdf_bn(params, model_cfg, rays_o, rays_d, z_vals)
-            for i in range(cfg.up_sample_steps):
-                new_z = up_sample(
-                    params, model_cfg, rays_o, rays_d, z_vals, sdf,
-                    cfg.n_importance // cfg.up_sample_steps, 64.0 * 2**i)
-                z_vals, sdf = cat_z_vals(
-                    params, model_cfg, rays_o, rays_d, z_vals, new_z, sdf,
-                    last=(i + 1 == cfg.up_sample_steps))
-            return z_vals
+        sdf_cfg = model_cfg["sdf"]
+        use_full_kernel = False
+        if ((sdf_cfg.get("use_fused", False)
+             or sdf_cfg.get("use_fused_train", False))
+                and os.environ.get("FMOV_FUSED_UPSAMPLE_FULL", "0") == "1"):
+            from fmov_pose_tpu.ops import fused_sdf
+            use_full_kernel = fused_sdf.supported_upsample(
+                sdf_cfg, cfg.n_samples, cfg.n_importance,
+                cfg.up_sample_steps,
+                batch_size * (cfg.n_samples + cfg.n_importance))
 
-        z_vals = jax.lax.stop_gradient(_upsample(jax.lax.stop_gradient(z_vals)))
+        if use_full_kernel:
+            # whole loop (evals + section alphas + inverse-CDF draws +
+            # sorted merges) in ONE forward-only pallas kernel — the XLA
+            # loop pays 4 variadic sorts + 4 compare-all sample_pdf
+            # passes + 5 boundary crossings per step (ops/fused_sdf.py
+            # upsample_fused_rays)
+            from fmov_pose_tpu.ops import fused_sdf
+            z_vals = jax.lax.stop_gradient(fused_sdf.upsample_fused_rays(
+                params["sdf"], sdf_cfg, rays_o, rays_d,
+                jax.lax.stop_gradient(z_vals), cfg.n_importance,
+                cfg.up_sample_steps))
+        else:
+            def _upsample(z_vals):
+                sdf = _sdf_bn(params, model_cfg, rays_o, rays_d, z_vals)
+                for i in range(cfg.up_sample_steps):
+                    new_z = up_sample(
+                        params, model_cfg, rays_o, rays_d, z_vals, sdf,
+                        cfg.n_importance // cfg.up_sample_steps, 64.0 * 2**i)
+                    z_vals, sdf = cat_z_vals(
+                        params, model_cfg, rays_o, rays_d, z_vals, new_z,
+                        sdf, last=(i + 1 == cfg.up_sample_steps))
+                return z_vals
+
+            z_vals = jax.lax.stop_gradient(
+                _upsample(jax.lax.stop_gradient(z_vals)))
         n_samples_total = cfg.n_samples + cfg.n_importance
 
     if cfg.n_outside > 0:
