@@ -36,6 +36,9 @@ def main():
     parser.add_argument("--image_interval", type=int, default=-1)
     parser.add_argument("--mesh_scale", type=float, default=1.0)
     parser.add_argument("--align_dir", type=str, default=None)
+    # resolution of the end-of-train mesh (`exp_runner.py:2121-2123` uses a
+    # fixed 512); overridable so CPU head-to-head runs stay tractable
+    parser.add_argument("--final_mesh_resolution", type=int, default=512)
     args = parser.parse_args()
 
     from fmov_pose_tpu.train.runner import Runner
@@ -86,11 +89,13 @@ def main():
             runner = reboot_runner(case, new_exp_dir)
             print("reboot the system for global training" + "-" * 40)
             runner.train()
-            runner.validate_mesh(resolution=512, use_norml_color=True)
+            runner.validate_mesh(resolution=args.final_mesh_resolution,
+                                 use_norml_color=True)
             runner.save_poses_simple()
         else:
             runner.train()
-            runner.validate_mesh(resolution=512, use_norml_color=True)
+            runner.validate_mesh(resolution=args.final_mesh_resolution,
+                                 use_norml_color=True)
     elif args.mode == "validate_mesh":
         if args.global_conf == "None":
             runner.validate_mesh(resolution=512, use_norml_color=True,

@@ -129,6 +129,21 @@ def _dot(a, b):
                    preferred_element_type=jnp.float32)
 
 
+def _dot_lastcol(inp, w_col):
+    """[T, W] x [1, W] -> [T, 1] bf16 contraction with f32 accumulation.
+
+    Written as an explicit bf16-round -> f32 multiply -> lane reduction:
+    Mosaic rejects the equivalent narrow dot_general (its 1-wide-output
+    multiply+reduce lowering emits a bf16->f32 `vector.broadcast` that
+    fails MLIR verification on v5e, jax 0.9).  f32 products of
+    bf16-rounded operands are exact (<=16 significand bits each), so this
+    matches the MXU contraction up to f32 summation order.
+    """
+    a = inp.astype(jnp.bfloat16).astype(jnp.float32)
+    b = w_col.astype(jnp.bfloat16).astype(jnp.float32)
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
 # ------------------------------------------------------------------
 # Lane-friendly (matmul-form) positional encoding.
 #
@@ -734,10 +749,7 @@ def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, feat_dtype):
         feat_ref[:] = (_dot(inp_last, w_feat) + b_feat).astype(feat_dtype)
         # sdf via the same bf16 contraction the fused [256,257] matmul
         # used for its column 0 (w_last_col is [1, 256]: contract lanes)
-        sdf_col = (jax.lax.dot_general(
-            inp_last.astype(jnp.bfloat16), w_last_col.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            + b_sdf) / scale
+        sdf_col = (_dot_lastcol(inp_last, w_last_col) + b_sdf) / scale
         # sdf_bn[r, j] = sdf_col[r*N + j, 0]: exact one-hot contraction
         sdfbn_ref[:] = _ray_from_flat(O, Smask, sdf_col, hp)
 
@@ -795,10 +807,7 @@ def _make_fwd_rays_only_kernel(cfg, n_lin, n_samples):
         inp_last = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
                     if (n_lin - 1) in skip_in else h)
         # same bf16 lane contraction as the fwd+grad kernel's column 0
-        sdf_col = (jax.lax.dot_general(
-            inp_last.astype(jnp.bfloat16), w_last_col.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            + b_sdf) / scale
+        sdf_col = (_dot_lastcol(inp_last, w_last_col) + b_sdf) / scale
         sdfbn_ref[:] = _ray_from_flat(O, Smask, sdf_col, hp)
 
     return kernel
@@ -1360,16 +1369,19 @@ def sdf_apply_grad_fused_rays(params, cfg, rays_o, rays_d, z_mid):
 def sdf_only_fused_rays(params, cfg, rays_o, rays_d, z_vals):
     """sdf [B, N] at pts = o + d*z, geometry built IN-KERNEL.
 
-    Forward-only: the SDF-guided upsample loop runs under stop_gradient
-    (`renderer.py:424` torch.no_grad), so no vjp is defined — calls from
-    a differentiated region fail loudly rather than silently detaching.
+    Forward-only: the SDF-guided upsample loop runs under no_grad in the
+    reference (`renderer.py:424`), so no vjp is defined and EVERY input
+    is detached here — rays_o/rays_d carry pose-network tangents inside
+    the train step, and jvp tracing needs a rule at the pallas_call
+    itself even when the output's tangent is dropped downstream.
     Matches sdf_only_fused(pts)[:, 0] up to the shared bf16 matmul
     rounding (identical contraction order for the sdf column)."""
     cfg_key = _cfg_key(cfg)
     ws, bs = _materialize(params, dict(cfg_key))
+    sg = jax.lax.stop_gradient
     return _sdf_only_rays_impl(
-        jax.lax.stop_gradient(ws), jax.lax.stop_gradient(bs),
-        rays_o, rays_d, z_vals, cfg_key, z_vals.shape[1])
+        sg(ws), sg(bs), sg(rays_o), sg(rays_d), sg(z_vals),
+        cfg_key, z_vals.shape[1])
 
 
 # below this many total samples the rays variant loses to the plain
@@ -1480,12 +1492,8 @@ def _make_upsample_rays_kernel(cfg, n_lin, n0, k, steps, inv_s_base):
                 h = _softplus100(_dot(inp, ws[l]) + bs[l])
             inp_last = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
                         if (n_lin - 1) in skip_in else h)
-            sdf_col = (jax.lax.dot_general(
-                inp_last.astype(jnp.bfloat16),
-                w_last_col.astype(jnp.bfloat16),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-                + b_sdf) / cfg.get("scale", 1.0)
+            sdf_col = (_dot_lastcol(inp_last, w_last_col)
+                       + b_sdf) / cfg.get("scale", 1.0)
             return _ray_from_flat(O, Smask, sdf_col, hp)
 
         # ray-constant radius coefficients: |o + z d|^2 expanded
@@ -1638,14 +1646,16 @@ def upsample_fused_rays(params, cfg, rays_o, rays_d, z_vals, n_importance,
     (`renderer.py:423-446`: up_sample/cat_z_vals x steps) in one
     forward-only kernel.  z_vals [B, n0] must be per-ray ascending (it
     is: linspace + per-ray scalar perturb).  No vjp — the loop runs
-    under stop_gradient; calls from a differentiated region fail loudly."""
+    under no_grad in the reference, so every input is detached here
+    (rays carry pose tangents inside the train step and jvp tracing
+    needs a rule at the pallas_call itself)."""
     cfg_key = _cfg_key(cfg)
     ws, bs = _materialize(params, dict(cfg_key))
     k = n_importance // steps
+    sg = jax.lax.stop_gradient
     return _upsample_rays_impl(
-        jax.lax.stop_gradient(ws), jax.lax.stop_gradient(bs),
-        rays_o, rays_d, z_vals, cfg_key, z_vals.shape[1], k, steps,
-        float(inv_s_base))
+        sg(ws), sg(bs), sg(rays_o), sg(rays_d), sg(z_vals),
+        cfg_key, z_vals.shape[1], k, steps, float(inv_s_base))
 
 
 def supported_upsample(cfg, n0: int, n_importance: int, steps: int,

@@ -38,9 +38,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
 sys.path.insert(0, REPO)
 
-# identical schedule for both sides (phase1, phase2); None = keep shipped
+# identical schedule for both sides (phase1, phase2); None = keep shipped.
+# Phase-2 600: the torch reference needs ~12-20 s/iter on this box's single
+# CPU core — 1200 did not fit a 12h round alongside phase 1 (~1440 effective
+# iters; the progressive loop early-returns once all 12 frames are admitted).
 SCHEDULE = {
-    "end_iter": (2200, 1200),
+    "end_iter": (2200, 600),
     "warm_up_end": (150, 150),
     "save_freq": (1000000, 1000000),
     "val_freq": (1000000, 1000000),
@@ -136,7 +139,10 @@ def run_ours(work, device="tpu"):
     cmd = [sys.executable, os.path.join(REPO, "exp_runner.py"),
            "--mode", "train", "--conf", "./confs/ho3d_virtual.conf",
            "--case", "SYN_ori",
-           "--global_conf", "./confs/ho3d_global_womask.conf"]
+           "--global_conf", "./confs/ho3d_global_womask.conf",
+           # same final mesh resolution the ref run gets (run_ref passes
+           # --final_mesh_resolution 192) — fair chamfer, CPU-tractable
+           "--final_mesh_resolution", "192"]
     log = os.path.join(work, "ours_run.log")
     print("+", " ".join(cmd), "\nlog ->", log)
     with open(log, "w") as f:

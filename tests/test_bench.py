@@ -36,3 +36,46 @@ def test_build_phase2_gf_scan_runs():
     # gf pose leaves must receive updates through the scan
     p1 = np.asarray(new_state.params["pose"]["lin1"]["w"])
     assert not np.allclose(p0, p1)
+
+
+def test_build_phase2_gf_scan_fused_interpret(monkeypatch):
+    """The REAL fused phase-2 trace path at toy size (interpret pallas).
+
+    Regression: r3 bench found two trace/lowering failures the unfused
+    CPU smoke above cannot see — (a) grad tracing reached the no-vjp
+    forward-only upsample pallas_call through rays_o/rays_d pose
+    tangents ("Linearization failed to produce known values"), (b) a
+    Mosaic narrow-dot verification error (TPU-only, caught by
+    scripts/validate_rays_tpu.py).  This covers (a) and the full fused
+    gate wiring for every kernel the real phase-2 step enables."""
+    import numpy as np
+
+    from fmov_pose_tpu.ops import fused_color, fused_sdf
+
+    monkeypatch.setenv("FMOV_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(fused_sdf, "MIN_SAMPLES_RAYS", 0)
+    monkeypatch.setattr(fused_color, "MIN_SAMPLES", 0)
+
+    scan, state, n_img, k = bench.build_phase2_gf(8, k_steps=1)
+    new_state, metrics = scan(state, n_img)
+    jax.block_until_ready(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_build_phase2_gf_scan_fused_upsample_full_interpret(monkeypatch):
+    """Same as above with the whole-upsample-loop kernel gate flipped on
+    (FMOV_FUSED_UPSAMPLE_FULL) — the other fused phase-2 configuration
+    bench measures."""
+    import numpy as np
+
+    from fmov_pose_tpu.ops import fused_color, fused_sdf
+
+    monkeypatch.setenv("FMOV_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("FMOV_FUSED_UPSAMPLE_FULL", "1")
+    monkeypatch.setattr(fused_sdf, "MIN_SAMPLES_RAYS", 0)
+    monkeypatch.setattr(fused_color, "MIN_SAMPLES", 0)
+
+    scan, state, n_img, k = bench.build_phase2_gf(8, k_steps=1)
+    new_state, metrics = scan(state, n_img)
+    jax.block_until_ready(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))
