@@ -26,32 +26,61 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
 
 B1, B2, EPS = 0.9, 0.999, 1e-8
 
 
 class AdamState(NamedTuple):
+    """Adam moments over ONE raveled [P] buffer (not a params-shaped tree).
+
+    The per-leaf tree update launches ~2 tiny fused kernels per leaf —
+    ~150 dispatches for the ~75-leaf phase-2 param tree, measured ~7 ms
+    of the step (scripts/phase2_probe.py).  Raveling params/grads once
+    (a single concat; its vjp is the slice-split XLA fuses into the
+    consumers) turns the whole update into a handful of [P]-wide
+    elementwise kernels.  Per-element math is unchanged, so torch-Adam
+    parity (scripts/parity_check.py, 20 tracked steps) still holds
+    bitwise per leaf."""
     step: jnp.ndarray
-    mu: Any
-    nu: Any
+    mu: jnp.ndarray   # [P]
+    nu: jnp.ndarray   # [P]
 
 
 def adam_init(params) -> AdamState:
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-    return AdamState(step=jnp.zeros((), jnp.int32), mu=zeros,
-                     nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+    flat, _ = ravel_pytree(params)
+    assert flat.dtype == jnp.float32, (
+        f"flat Adam assumes f32 params (got {flat.dtype}); mixed-dtype "
+        "trees would silently promote through ravel_pytree")
+    return AdamState(step=jnp.zeros((), jnp.int32),
+                     mu=jnp.zeros_like(flat), nu=jnp.zeros_like(flat))
 
 
 def adam_update(grads, state: AdamState, params, lr):
+    flat_g, _ = ravel_pytree(grads)
+    return adam_update_flat(flat_g, state, params, lr)
+
+
+def adam_update_flat(flat_g, state: AdamState, params, lr):
+    """Adam step from an already-raveled (and gated) [P] gradient."""
+    flat_p, unravel = ravel_pytree(params)
     step = state.step + 1
-    mu = jax.tree_util.tree_map(lambda m, g: B1 * m + (1 - B1) * g, state.mu, grads)
-    nu = jax.tree_util.tree_map(lambda v, g: B2 * v + (1 - B2) * g * g, state.nu, grads)
+    mu = B1 * state.mu + (1 - B1) * flat_g
+    nu = B2 * state.nu + (1 - B2) * flat_g * flat_g
     bc1 = 1 - B1 ** step.astype(jnp.float32)
     bc2 = 1 - B2 ** step.astype(jnp.float32)
-    new_params = jax.tree_util.tree_map(
-        lambda p, m, v: p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + EPS),
-        params, mu, nu)
-    return new_params, AdamState(step=step, mu=mu, nu=nu)
+    new_flat = flat_p - lr * (mu / bc1) / (jnp.sqrt(nu / bc2) + EPS)
+    return unravel(new_flat), AdamState(step=step, mu=mu, nu=nu)
+
+
+def ensure_flat_adam(opt: AdamState) -> AdamState:
+    """Migrate a checkpointed tree-form AdamState (pre flat-Adam) to the
+    raveled form; a no-op on already-flat states."""
+    if hasattr(opt.mu, "ndim") and opt.mu.ndim == 1:
+        return opt
+    flat_mu, _ = ravel_pytree(opt.mu)
+    flat_nu, _ = ravel_pytree(opt.nu)
+    return AdamState(step=jnp.asarray(opt.step), mu=flat_mu, nu=flat_nu)
 
 
 # ---------------------------------------------------------------------------
@@ -60,55 +89,80 @@ def adam_update(grads, state: AdamState, params, lr):
 
 
 class SegAdamState(NamedTuple):
+    """Per-segment Adam moments over ONE raveled [P] bank buffer (same
+    rationale as AdamState: the per-leaf form cost ~1-2 ms/step in tiny
+    kernels, a large slice of the 3.7 ms batch-512 step).  step stays
+    [S]; per-position segment scalars come from static index gathers."""
     step: jnp.ndarray  # [S] per-segment step counts
-    mu: Any            # leaves [S, ...]
-    nu: Any
+    mu: jnp.ndarray    # [P]
+    nu: jnp.ndarray    # [P]
 
 
 def seg_adam_init(bank_params, n_segments: int) -> SegAdamState:
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, bank_params)
+    for leaf in jax.tree_util.tree_leaves(bank_params):
+        assert leaf.shape[0] == n_segments, (
+            f"bank leaf {leaf.shape} does not lead with the segment axis "
+            f"({n_segments})")
+    flat, _ = ravel_pytree(bank_params)
     return SegAdamState(
-        step=jnp.zeros((n_segments,), jnp.int32), mu=zeros,
-        nu=jax.tree_util.tree_map(jnp.zeros_like, bank_params))
+        step=jnp.zeros((n_segments,), jnp.int32),
+        mu=jnp.zeros_like(flat), nu=jnp.zeros_like(flat))
 
 
-def _bcast_seg(x, leaf):
-    return x.reshape((-1,) + (1,) * (leaf.ndim - 1))
+def seg_index(bank_params):
+    """Static int32 [P] vector: the segment id owning each raveled
+    position (bank leaves are [S, ...], row-major ravel is
+    segment-major).  Built from shapes at trace time — a constant."""
+    import numpy as _np
+    parts = [
+        _np.repeat(_np.arange(leaf.shape[0], dtype=_np.int32),
+                   int(_np.prod(leaf.shape[1:], dtype=_np.int64)))
+        for leaf in jax.tree_util.tree_leaves(bank_params)
+    ]
+    return (_np.concatenate(parts) if parts
+            else _np.zeros((0,), _np.int32))
 
 
 def seg_adam_update(grads, state: SegAdamState, params, touch, seg_lr):
     """touch: [S] 0/1 — which segment optimizers step; seg_lr: [S] LRs."""
+    flat_g, _ = ravel_pytree(grads)
+    return seg_adam_update_flat(flat_g, state, params, touch, seg_lr)
+
+
+def seg_adam_update_flat(flat_g, state: SegAdamState, params, touch,
+                         seg_lr):
+    """Segment-bank Adam from an already-raveled (and gated) gradient.
+
+    Elementwise math identical to the pre-flat per-leaf form: the [S]
+    per-segment scalars (touch, bias corrections, LR) reach each
+    position through a static-index gather instead of a broadcast."""
+    flat_p, unravel = ravel_pytree(params)
+    idx = seg_index(params)
     touch_f = touch.astype(jnp.float32)
     step = state.step + touch.astype(jnp.int32)
     stepf = jnp.maximum(step.astype(jnp.float32), 1.0)
     bc1 = 1 - B1 ** stepf  # [S]
     bc2 = 1 - B2 ** stepf
+    t = touch_f[idx]
+    m_new = jnp.where(t > 0, B1 * state.mu + (1 - B1) * flat_g, state.mu)
+    v_new = jnp.where(t > 0, B2 * state.nu + (1 - B2) * flat_g * flat_g,
+                      state.nu)
+    delta = (m_new / bc1[idx]) / (jnp.sqrt(v_new / bc2[idx]) + EPS)
+    p_new = flat_p - seg_lr[idx] * t * delta
+    return unravel(p_new), SegAdamState(step=step, mu=m_new, nu=v_new)
 
-    def upd(p, m, v, g):
-        t = _bcast_seg(touch_f, p)
-        m_new = jnp.where(t > 0, B1 * m + (1 - B1) * g, m)
-        v_new = jnp.where(t > 0, B2 * v + (1 - B2) * g * g, v)
-        delta = (m_new / _bcast_seg(bc1, p)) / (
-            jnp.sqrt(v_new / _bcast_seg(bc2, p)) + EPS)
-        p_new = p - _bcast_seg(seg_lr, p) * t * delta
-        return p_new, m_new, v_new
 
-    flat_p, treedef = jax.tree_util.tree_flatten(params)
-    flat_m = treedef.flatten_up_to(state.mu)
-    flat_v = treedef.flatten_up_to(state.nu)
-    flat_g = treedef.flatten_up_to(grads)
-    new_p, new_m, new_v = [], [], []
-    for p, m, v, g in zip(flat_p, flat_m, flat_v, flat_g):
-        pn, mn, vn = upd(p, m, v, g)
-        new_p.append(pn)
-        new_m.append(mn)
-        new_v.append(vn)
-    return (
-        jax.tree_util.tree_unflatten(treedef, new_p),
-        SegAdamState(step=step,
-                     mu=jax.tree_util.tree_unflatten(treedef, new_m),
-                     nu=jax.tree_util.tree_unflatten(treedef, new_v)),
-    )
+def ensure_flat_seg_adam(opt: SegAdamState) -> SegAdamState:
+    """Migrate a checkpointed tree-form SegAdamState to raveled form."""
+    if hasattr(opt.mu, "ndim") and opt.mu.ndim == 1:
+        return opt
+    flat_mu, _ = ravel_pytree(opt.mu)
+    flat_nu, _ = ravel_pytree(opt.nu)
+    return SegAdamState(step=jnp.asarray(opt.step), mu=flat_mu, nu=flat_nu)
+
+
+def _bcast_seg(x, leaf):
+    return x.reshape((-1,) + (1,) * (leaf.ndim - 1))
 
 
 def mask_grads(grads, scale):

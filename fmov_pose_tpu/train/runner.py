@@ -1336,6 +1336,12 @@ class Runner:
         # the PRNG key was stored as raw uint32 data
         self.state = self.state._replace(
             key=jax.random.wrap_key_data(self.state.key))
+        # pre-flat-Adam checkpoints stored params-shaped moment trees
+        self.state = self.state._replace(
+            opt=optim.ensure_flat_adam(self.state.opt))
+        if isinstance(self.state.pose_opt, optim.SegAdamState):
+            self.state = self.state._replace(
+                pose_opt=optim.ensure_flat_seg_adam(self.state.pose_opt))
         if jax.process_count() > 1 and getattr(self, "mesh", None) is not None:
             from fmov_pose_tpu.parallel import dp
             self.state = dp.replicate_tree(self.mesh, self.state)

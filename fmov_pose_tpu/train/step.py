@@ -27,6 +27,7 @@ from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
 
 from fmov_pose_tpu.core import lie
 from fmov_pose_tpu.core import pose as posealg
@@ -143,24 +144,24 @@ def pose_of_frame(cfg: StepConfig, params, pose_bank, pose_static, cam_id):
     return pose_static["pose_all"][cam_id, :3]
 
 
-def _pose_leaf_mask(cfg: StepConfig, pose_train):
-    """emphasize_rot keeps lin3_trans permanently frozen
-    (`picture_pose.py:52-56`)."""
-    def mask_leaf(path, leaf):
-        name = path[0].key if hasattr(path[0], "key") else str(path[0])
-        if name == "lin3_trans":
-            return jnp.zeros(())
-        return jnp.ones(())
-    return jax.tree_util.tree_map_with_path(mask_leaf, pose_train)
+def _flat_bank_masks(pose_train):
+    """Static 0/1 vectors over the raveled bank order marking the
+    lin3_trans (permanently frozen, `picture_pose.py:52-56`) and
+    lin3_scale (trans_head_on-gated) head leaves."""
+    import numpy as _np
+    trans, scale = [], []
 
-
-def _scale_head_mask(cfg: StepConfig, pose_train, trans_head_on):
-    def mask_leaf(path, leaf):
+    def visit(path, leaf):
         name = path[0].key if hasattr(path[0], "key") else str(path[0])
-        if name == "lin3_scale":
-            return trans_head_on
-        return jnp.ones(())
-    return jax.tree_util.tree_map_with_path(mask_leaf, pose_train)
+        n = int(_np.prod(_np.shape(leaf), dtype=_np.int64))
+        trans.append(_np.full(n, 1.0 if name == "lin3_trans" else 0.0,
+                              _np.float32))
+        scale.append(_np.full(n, 1.0 if name == "lin3_scale" else 0.0,
+                              _np.float32))
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, pose_train)
+    return _np.concatenate(trans), _np.concatenate(scale)
 
 
 # ---------------------------------------------------------------------------
@@ -319,47 +320,76 @@ def _flow_loss(cfg: StepConfig, params, pose_bank, pose_static, render_out,
 # ---------------------------------------------------------------------------
 
 
+def _flat_gate_masks(params):
+    """Static 0/1 vectors over the raveled param order partitioning the
+    gated leaf groups: (pose-or-se3 leaves, pose lin3_trans, pose
+    lin3_scale).  Built from leaf paths/shapes at trace time — XLA
+    constant-folds them into the flat gradient gate."""
+    import numpy as _np
+    pose, trans, scale = [], [], []
+
+    def visit(path, x):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        name = ""
+        if len(path) > 1:
+            name = path[1].key if hasattr(path[1], "key") else str(path[1])
+        n = int(_np.prod(_np.shape(x), dtype=_np.int64))
+        is_pose = top in ("pose", "se3_refine")
+        pose.append(_np.full(n, 1.0 if is_pose else 0.0, _np.float32))
+        trans.append(_np.full(
+            n, 1.0 if top == "pose" and name == "lin3_trans" else 0.0,
+            _np.float32))
+        scale.append(_np.full(
+            n, 1.0 if top == "pose" and name == "lin3_scale" else 0.0,
+            _np.float32))
+        return x
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    return (_np.concatenate(pose), _np.concatenate(trans),
+            _np.concatenate(scale))
+
+
 def _apply_updates(cfg: StepConfig, state: TrainState, grads_params,
                    grads_bank, scalars: StepScalars):
-    # main Adam: detach_mesh_at_warm_up multiplies grads by 0 but still steps
-    grads_params = optim.mask_grads(grads_params, scalars.main_update)
+    # main Adam over ONE raveled gradient (see optim.AdamState: the
+    # per-leaf tree update cost ~7 ms/step in kernel dispatches).  All
+    # gates are exact 0/1 scalars, so folding the sequential per-leaf
+    # multiplies into one per-position gate vector is bitwise identical:
+    #  - main_update: detach_mesh_at_warm_up zeroes grads but still steps
+    #    (moments decay — torch `zero_grad(); step()` drift)
+    #  - pose/se3 leaves ride the main optimizer but use the pose gate;
+    #    the old sequential form (g*main)/safe*pose zeroed pose grads
+    #    whenever main_update == 0, kept here via jnp.where
+    #  - gf emphasize_rot: lin3_trans head always 0, lin3_scale head
+    #    additionally gated by trans_head_on (`exp_runner.py:793-816`)
+    flat_g, _ = ravel_pytree(grads_params)
+    gate = scalars.main_update
     if cfg.pose_mode in ("gf", "se3"):
-        # pose leaves live in the main optimizer; gate them separately
-        def gate(path, g):
-            top = path[0].key if hasattr(path[0], "key") else str(path[0])
-            if top in ("pose", "se3_refine"):
-                # undo the main gate, apply the pose gate
-                safe = jnp.where(scalars.main_update > 0, scalars.main_update, 1.0)
-                return g / safe * scalars.pose_update
-            return g
-        grads_params = jax.tree_util.tree_map_with_path(gate, grads_params)
+        m_pose, m_trans, m_scale = _flat_gate_masks(state.params)
+        pose_gate = jnp.where(scalars.main_update > 0,
+                              scalars.pose_update, 0.0)
+        gate = scalars.main_update * (1.0 - m_pose) + pose_gate * m_pose
         if cfg.pose_mode == "gf" and cfg.pose_cfg.emphasize_rot:
-            def head_gate(path, g):
-                top = path[0].key if hasattr(path[0], "key") else str(path[0])
-                if top == "pose":
-                    name = path[1].key if hasattr(path[1], "key") else str(path[1])
-                    if name == "lin3_trans":
-                        return g * 0.0
-                    if name == "lin3_scale":
-                        return g * scalars.trans_head_on
-                return g
-            grads_params = jax.tree_util.tree_map_with_path(head_gate, grads_params)
-
-    new_params, new_opt = optim.adam_update(
-        grads_params, state.opt, state.params, scalars.lr)
+            gate = (gate * (1.0 - m_trans - m_scale)
+                    + pose_gate * scalars.trans_head_on * m_scale)
+    new_params, new_opt = optim.adam_update_flat(
+        flat_g * gate, state.opt, state.params, scalars.lr)
 
     if cfg.pose_mode in ("seg", "seg_pixel"):
-        grads_bank = optim.mask_seg_grads(
-            grads_bank, scalars.seg_freeze * scalars.pose_update)
-        leaf_mask = _pose_leaf_mask(cfg, state.pose_bank["train"])
-        grads_bank = jax.tree_util.tree_map(
-            lambda g, m: g * m, grads_bank, leaf_mask)
-        head_mask = _scale_head_mask(cfg, state.pose_bank["train"],
-                                     scalars.trans_head_on)
-        grads_bank = jax.tree_util.tree_map(
-            lambda g, m: g * m, grads_bank, head_mask)
-        new_train, new_pose_opt = optim.seg_adam_update(
-            grads_bank, state.pose_opt, state.pose_bank["train"],
+        # same flattening for the segment bank: per-segment freeze rides
+        # a static index gather, the (all 0/1) lin3_trans / lin3_scale
+        # leaf gates become static mask vectors — one fused multiply
+        # instead of three ~10-leaf tree_maps
+        bank_train = state.pose_bank["train"]
+        flat_gb, _ = ravel_pytree(grads_bank)
+        m_trans_b, m_scale_b = _flat_bank_masks(bank_train)
+        seg_gate = (scalars.seg_freeze * scalars.pose_update)[
+            optim.seg_index(bank_train)]
+        gate_b = (seg_gate * (1.0 - m_trans_b)
+                  * ((1.0 - m_scale_b)
+                     + scalars.trans_head_on * m_scale_b))
+        new_train, new_pose_opt = optim.seg_adam_update_flat(
+            flat_gb * gate_b, state.pose_opt, bank_train,
             scalars.seg_touch, scalars.seg_lr)
         new_bank = {"train": new_train, "static": state.pose_bank["static"]}
     else:
