@@ -246,6 +246,11 @@ def mesh_chamfer(mesh_path, n_gt=20000):
     from fmov_pose_tpu.pipeline.chamfer import chamfer_distance
     from fmov_pose_tpu.data.synthetic import SPHERE_RADIUS
     verts, _ = read_ply(mesh_path)
+    if len(verts) < 10:
+        # an untrained/degenerate SDF can marching-cube to (near-)nothing
+        # (seen at smoke scale); report "no usable mesh" instead of
+        # crashing the whole score pass
+        return None
     if len(verts) > 60000:
         sel = np.random.default_rng(0).choice(len(verts), 60000,
                                               replace=False)
@@ -266,6 +271,18 @@ def psnr_from_log(log_text):
     return [float(v) for v in vals]
 
 
+def _guarded(res, key, fn):
+    """One side's bad artifact must not kill the whole report (the real
+    run burns hours before score() fires — always emit what we have)."""
+    try:
+        val = fn()
+        if val is not None:
+            res[key] = val
+    except Exception as e:  # noqa: BLE001 — record, keep scoring
+        print(f"score: {key} failed: {e!r}")
+        res[key + "_error"] = repr(e)
+
+
 def score(work):
     out = {"ref": {}, "ours": {}}
     gt = gt_poses(work)
@@ -277,33 +294,37 @@ def score(work):
         res = out[side]
 
         # phase-1: PnP-aligned global poses saved at the transition
-        gp = sorted(glob.glob(os.path.join(exp, "global_poses_*.npy")))
-        if gp:
+        def _phase1():
+            gp = sorted(glob.glob(os.path.join(exp, "global_poses_*.npy")))
+            if not gp:
+                return None
             poses = np.load(gp[-1])
-            res["phase1"] = pose_metrics(poses, gt[:len(poses)])
+            return pose_metrics(poses, gt[:len(poses)])
+
+        _guarded(res, "phase1", _phase1)
 
         # phase-2 final poses
-        if side == "ref":
+        def _phase2():
             pp = sorted(glob.glob(os.path.join(g, "poses_*.npy")),
                         key=lambda p: int(re.findall(r"(\d+)", p)[-1]))
-            if pp:
+            if not pp:
+                return None
+            if side == "ref":
                 poses, _ = load_ref_pose_dict(pp[-1])
-                res["phase2"] = pose_metrics(poses, gt[:len(poses)])
-        else:
-            pp = sorted(glob.glob(os.path.join(g, "poses_*.npy")),
-                        key=lambda p: int(re.findall(r"(\d+)", p)[-1]))
-            if pp:
+            else:
                 arr = np.load(pp[-1], allow_pickle=True)
                 poses = (load_ref_pose_dict(pp[-1])[0]
                          if arr.dtype == object else arr)
-                res["phase2"] = pose_metrics(poses, gt[:len(poses)])
+            return pose_metrics(poses, gt[:len(poses)])
+
+        _guarded(res, "phase2", _phase2)
 
         # final mesh chamfer
         meshes = sorted(glob.glob(os.path.join(g, "meshes", "*.ply")),
                         key=os.path.getmtime)
         if meshes:
             res["mesh"] = os.path.basename(meshes[-1])
-            res["chamfer"] = mesh_chamfer(meshes[-1])
+            _guarded(res, "chamfer", lambda: mesh_chamfer(meshes[-1]))
 
         # PSNR as logged during training (validate renders if present)
         log_path = os.path.join(work, f"{side}_run.log")
