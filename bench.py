@@ -255,7 +255,10 @@ def main():
         try:
             photo_step, state, packed = build(
                 batch, use_fused_train=fused, phase2=phase2, occupancy=occ)
-            flops = step_flops(photo_step, state, packed)
+            # XLA cost analysis counts Pallas custom calls as 0 flops, so a
+            # fused row's "TF/s" would be a misleading near-zero number;
+            # only emit MFU for configs whose flops XLA fully sees.
+            flops = 0.0 if fused else step_flops(photo_step, state, packed)
             steps_per_sec, _ = time_steps(photo_step, state, packed)
             rays_per_step = batch * 2  # maintain_shape doubles the rays
             rays_per_sec = steps_per_sec * rays_per_step

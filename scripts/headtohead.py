@@ -394,6 +394,17 @@ def write_report(work, out, path=os.path.join(REPO, "HEADTOHEAD.md")):
         "for both sides).",
         "",
     ]
+    if out["ref"].get("psnr_mean") is None:
+        lines += [
+            "The reference's render-PSNR is absent because its phase-2 run",
+            "saved no checkpoint: the reference only checkpoints every",
+            "`save_freq` iters (`exp_runner.py` save logic) and the reduced",
+            "600-iter phase-2 schedule ends before the first save, so the",
+            "trained radiance field is unrecoverable post-hoc. Pose/mesh",
+            "metrics above come from its saved poses and final mesh, which",
+            "ARE written unconditionally at exit.",
+            "",
+        ]
     with open(path, "w") as f:
         f.write("\n".join(lines))
     print("wrote", path)

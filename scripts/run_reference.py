@@ -186,6 +186,10 @@ def main():
             print("reboot the system for global training"
                   + "-" * 40, flush=True)
             runner.train()
+            # reduced schedules end before the reference's first save_freq
+            # checkpoint; save one now so psnr_eval can restore the trained
+            # radiance field post-hoc (ref save_checkpoint: exp_runner.py:1414)
+            runner.save_checkpoint()
             if not args.skip_render_poses:
                 runner.render_poses()
             runner.validate_mesh(resolution=args.final_mesh_resolution,
@@ -193,6 +197,7 @@ def main():
             runner.save_poses_simple()
         else:
             runner.train()
+            runner.save_checkpoint()
             if not args.skip_render_poses:
                 runner.render_poses()
             runner.validate_mesh(resolution=args.final_mesh_resolution,
