@@ -345,15 +345,12 @@ def color_fused_featfirst(params, cfg, pts, dirs, normals, feature):
 # cotangent each materialize 384-lane-padded (1.5 GB), the [M,3] color
 # output pads 42x, and the composite runs on [B,N,3] (minor dim 3).
 # This variant moves ALL of it in-kernel:
-#   inputs  feat [M,256] lane-ALIGNED (f32 or bf16, straight from the
-#           rays SDF kernel), u [M,9] = [pts|dirs|normals] (PE tail
-#           built in-kernel from the same selection matmul),
-#           weights [B,N]; lin0 pre-split host-side (w0a/w0b) so the
-#           [T,289] concat never materializes
+#   inputs  sdf_out [M,257] (feature sliced in-kernel -> no [M,256]
+#           copy), u [M,9] = [pts|dirs|normals] (PE tail built in-kernel
+#           from the same selection matmul), weights [B,N]
 #   outputs color [B,3] (composited over each ray's N samples in VMEM)
 # backward recomputes forward in-kernel and emits d_weights [B,N],
-# ubar [M,9], featbar [M,256] aligned (feat's dtype) + accumulated
-# dws/dbs (lin0 as dw0a+dw0b, host re-concats).
+# ubar [M,9], featbar [M,257] (col 0 zero) + accumulated dws/dbs.
 # Requires TILE % n_samples == 0 (each tile holds whole rays) and no
 # NeRF++ background mixing (render_core gates on background_alpha=None).
 # ------------------------------------------------------------------
@@ -370,52 +367,27 @@ def _materialize_ff(params, cfg, n_lin):
     return ws, bs
 
 
-def _build_u(o_ref, d_ref, z_ref, g3_ref, n_samples, hp):
-    """u [T, 9] = [pts | dirs | normals] from per-ray geometry + grad
-    planes, in-kernel (the [M, 9] array this replaces pads 9 -> 128
-    lanes in HBM: 512 MB at 1M samples)."""
-    from fmov_pose_tpu.ops.fused_sdf import (
-        _ray_onehots, _flat_from_ray, _build_xs)
-    T = n_samples * z_ref.shape[0]
-    O, Smask = _ray_onehots(T, n_samples)
-    pts, d_t, z_flat = _build_xs(o_ref, d_ref, z_ref, O, Smask, hp)
-    normals = jnp.concatenate(
-        [_flat_from_ray(O, Smask, g3_ref[c], hp) for c in range(3)],
-        axis=-1)
-    return jnp.concatenate([pts, d_t, normals], axis=-1), \
-        (O, Smask, d_t, z_flat)
-
-
-def _make_ray_fwd_kernel(n_lin, n_samples):
+def _make_ray_fwd_kernel(n_lin, n_samples, d_feat):
     hp = jax.lax.Precision.HIGHEST
 
     def kernel(*refs):
-        # feat arrives lane-ALIGNED [T, 256] (sliced off the raw
-        # [T, 257] sdf output it used to be: the 1-lane offset forced a
-        # full-tile lane rotation and the 257-wide f32 DMA padded to 384
-        # lanes), lin0 is pre-split host-side into w0a [256, 256] /
-        # w0b [d_small, 256] so the [T, 289] concat never materializes,
-        # and the geometry arrives per-ray (pts/dirs/normals built
-        # in-kernel from o/d/z + g3 planes: no 42x-padded [M, 9] DMA).
-        feat_ref, o_ref, d_ref, z_ref, g3_ref, w_ref = refs[:6]
-        g_ref, f_ref, k_ref = refs[6], refs[7], refs[8]
-        w0a = refs[9][:]
-        w0b = refs[10][:]
-        ws = [refs[11 + i][:] for i in range(n_lin - 1)]
-        bs = [refs[10 + n_lin + i][:] for i in range(n_lin)]
-        out_ref = refs[10 + 2 * n_lin]
-        u, _ = _build_u(o_ref, d_ref, z_ref, g3_ref, n_samples, hp)
+        sdf_ref, u_ref, w_ref, g_ref, f_ref, k_ref = refs[:6]
+        ws = [refs[6 + i][:] for i in range(n_lin)]
+        bs = [refs[6 + n_lin + i][:] for i in range(n_lin)]
+        out_ref = refs[6 + 2 * n_lin]
+        feat = sdf_ref[:, 1:1 + d_feat]
         # selection matmul is exact one-hot picks; value operand must stay
         # f32 (in-kernel jnp.dot defaults to bf16 -> 1e-3 PE drift)
-        r = jnp.dot(u, g_ref[:], precision=hp)
+        r = jnp.dot(u_ref[:], g_ref[:], precision=hp)
         rf = r * f_ref[:]
         kind = k_ref[:]
         small = jnp.where(kind == 0.0, r,
                           jnp.where(kind == 1.0, jnp.sin(rf), jnp.cos(rf)))
-        h = _dot(feat_ref[:], w0a) + _dot(small, w0b) + bs[0]
-        for l in range(1, n_lin):
-            h = jnp.maximum(h, 0.0)
-            h = _dot(h, ws[l - 1]) + bs[l]
+        h = jnp.concatenate([feat, small], axis=-1)
+        for l in range(n_lin):
+            h = _dot(h, ws[l]) + bs[l]
+            if l < n_lin - 1:
+                h = jnp.maximum(h, 0.0)
         c = jax.nn.sigmoid(h)                       # (TILE, 3)
         rays = c.shape[0] // n_samples
         c3 = c.reshape(rays, n_samples, 3)
@@ -424,59 +396,40 @@ def _make_ray_fwd_kernel(n_lin, n_samples):
     return kernel
 
 
-def _make_ray_bwd_kernel(n_lin, n_samples, feat_dtype):
+def _make_ray_bwd_kernel(n_lin, n_samples, d_feat):
     hp = jax.lax.Precision.HIGHEST
 
     def kernel(*refs):
-        # split-lin0 mirror of the fwd kernel: dws[0] leaves as
-        # dw0a [256, 256] + dw0b [d_small, 256] (host re-concats), the
-        # feature cotangent leaves ALIGNED [T, 256] (no zero-column
-        # prepend, no lane-offset store), and the geometry cotangent
-        # leaves as per-ray reductions through pts = o + d*z
-        # (obar/dbar [R, 3], zbar [R, N], g3bar planes [3, R, N])
-        feat_ref, o_ref, d_ref, z_ref, g3_ref, w_ref, ct_ref = refs[:7]
-        g_ref, f_ref, k_ref = refs[7], refs[8], refs[9]
-        w0a = refs[10][:]
-        w0b = refs[11][:]
-        ws = [refs[12 + i][:] for i in range(n_lin - 1)]
-        bs = [refs[11 + n_lin + i][:] for i in range(n_lin)]
-        w0at = refs[11 + 2 * n_lin][:]
-        w0bt = refs[12 + 2 * n_lin][:]
-        wts = [refs[13 + 2 * n_lin + i][:] for i in range(n_lin - 1)]
-        featbar_ref = refs[12 + 3 * n_lin]
-        obar_ref = refs[13 + 3 * n_lin]
-        dbar_ref = refs[14 + 3 * n_lin]
-        zraybar_ref = refs[15 + 3 * n_lin]
-        g3bar_ref = refs[16 + 3 * n_lin]
-        dw_ref = refs[17 + 3 * n_lin]
-        dw0a_ref = refs[18 + 3 * n_lin]
-        dw0b_ref = refs[19 + 3 * n_lin]
-        dws = [refs[20 + 3 * n_lin + i] for i in range(n_lin - 1)]
-        dbs = [refs[19 + 4 * n_lin + i] for i in range(n_lin)]
+        sdf_ref, u_ref, w_ref, ct_ref, g_ref, f_ref, k_ref = refs[:7]
+        ws = [refs[7 + i][:] for i in range(n_lin)]
+        bs = [refs[7 + n_lin + i][:] for i in range(n_lin)]
+        wts = [refs[7 + 2 * n_lin + i][:] for i in range(n_lin)]
+        featbar_ref = refs[7 + 3 * n_lin]
+        ubar_ref = refs[8 + 3 * n_lin]
+        dw_ref = refs[9 + 3 * n_lin]
+        dws = [refs[10 + 3 * n_lin + i] for i in range(n_lin)]
+        dbs = [refs[10 + 4 * n_lin + i] for i in range(n_lin)]
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
-            dw0a_ref[:] = jnp.zeros_like(dw0a_ref)
-            dw0b_ref[:] = jnp.zeros_like(dw0b_ref)
-            for l in range(n_lin - 1):
-                dws[l][:] = jnp.zeros_like(dws[l])
             for l in range(n_lin):
+                dws[l][:] = jnp.zeros_like(dws[l])
                 dbs[l][:] = jnp.zeros_like(dbs[l])
 
-        feat = feat_ref[:]
-        u, (O, Smask, d_t, z_flat) = _build_u(
-            o_ref, d_ref, z_ref, g3_ref, n_samples, hp)
-        r = jnp.dot(u, g_ref[:], precision=hp)
+        feat = sdf_ref[:, 1:1 + d_feat]
+        r = jnp.dot(u_ref[:], g_ref[:], precision=hp)
         rf = r * f_ref[:]
         kind = k_ref[:]
         small = jnp.where(kind == 0.0, r,
                           jnp.where(kind == 1.0, jnp.sin(rf), jnp.cos(rf)))
-        h = _dot(feat, w0a) + _dot(small, w0b) + bs[0]
-        acts = []
-        for l in range(1, n_lin):
-            h = jnp.maximum(h, 0.0)
-            acts.append(h)
-            h = _dot(h, ws[l - 1]) + bs[l]
+        xc = jnp.concatenate([feat, small], axis=-1)
+        acts = [xc]
+        h = xc
+        for l in range(n_lin):
+            h = _dot(h, ws[l]) + bs[l]
+            if l < n_lin - 1:
+                h = jnp.maximum(h, 0.0)
+                acts.append(h)
         c = jax.nn.sigmoid(h)                        # (TILE, 3)
         rays = c.shape[0] // n_samples
         c3 = c.reshape(rays, n_samples, 3)
@@ -485,43 +438,28 @@ def _make_ray_bwd_kernel(n_lin, n_samples, feat_dtype):
         dw_ref[:] = jnp.sum(c3 * ct[:, None, :], axis=2)
         cbar = (ct[:, None, :] * w[:, :, None]).reshape(-1, 3)
         zbar = cbar * c * (1.0 - c)
-        for l in range(n_lin - 1, 0, -1):
-            dws[l - 1][:] += _dot_acc(acts[l - 1], zbar)
+        for l in range(n_lin - 1, -1, -1):
+            dws[l][:] += _dot_acc(acts[l], zbar)
             dbs[l][:] += jnp.sum(zbar, axis=0, keepdims=True)
-            ibar = _dot(zbar, wts[l - 1])
-            zbar = ibar * (acts[l - 1] > 0.0).astype(jnp.float32)
-        dw0a_ref[:] += _dot_acc(feat, zbar)
-        dw0b_ref[:] += _dot_acc(small, zbar)
-        dbs[0][:] += jnp.sum(zbar, axis=0, keepdims=True)
-        featbar_ref[:] = _dot(zbar, w0at).astype(feat_dtype)
-        smallbar = _dot(zbar, w0bt)
+            ibar = _dot(zbar, wts[l])
+            if l > 0:
+                zbar = ibar * (acts[l] > 0.0).astype(jnp.float32)
+        featbar = ibar[:, :d_feat]
+        featbar_ref[:] = jnp.concatenate(
+            [jnp.zeros_like(featbar[:, :1]), featbar], axis=-1)
+        smallbar = ibar[:, d_feat:]
         dsel = jnp.where(kind == 0.0, jnp.ones_like(rf),
                          jnp.where(kind == 1.0, jnp.cos(rf) * f_ref[:],
                                    -jnp.sin(rf) * f_ref[:]))
-        ubar = jnp.dot(smallbar * dsel, g_ref[:].T, precision=hp)
-        # split and reduce per-ray through pts = o + d*z
-        from fmov_pose_tpu.ops.fused_sdf import _ray_from_flat
-        ptsbar = ubar[:, 0:3]
-        dirsbar = ubar[:, 3:6]
-        obar_ref[:] = jax.lax.dot_general(
-            O, ptsbar, (((0,), (0,)), ((), ())),
-            precision=hp, preferred_element_type=jnp.float32)
-        dbar_ref[:] = jax.lax.dot_general(
-            O, ptsbar * z_flat + dirsbar, (((0,), (0,)), ((), ())),
-            precision=hp, preferred_element_type=jnp.float32)
-        s = jnp.sum(ptsbar * d_t, axis=1, keepdims=True)
-        zraybar_ref[:] = _ray_from_flat(O, Smask, s, hp)
-        for c_i in range(3):
-            g3bar_ref[c_i] = _ray_from_flat(
-                O, Smask, ubar[:, 6 + c_i:7 + c_i], hp)
+        ubar_ref[:] = jnp.dot(smallbar * dsel, g_ref[:].T, precision=hp)
 
     return kernel
 
 
-def _ray_cfg_key(cfg, n_samples, d_feat):
+def _ray_cfg_key(cfg, n_samples, d_sdf):
     return (("n_layers", cfg["n_layers"]),
             ("multires_view", cfg["multires_view"]),
-            ("n_samples", n_samples), ("d_feat", d_feat))
+            ("n_samples", n_samples), ("d_sdf", d_sdf))
 
 
 def supported_ray(cfg, n_samples: int) -> bool:
@@ -536,186 +474,153 @@ def _pad_rows(x, rows):
     return x
 
 
-def _split_lin0(ws, d_feat):
-    """lin0 [d_feat + d_small, 256] -> (w0a [d_feat, 256], w0b)."""
-    return ws[0][:d_feat], ws[0][d_feat:]
-
-
-def _pad_ray_inputs(feat, o, d, z, g3, weights, rays_per_tile, N):
-    B = weights.shape[0]
-    b_pad = B + ((-B) % rays_per_tile)
-    m_pad = b_pad * N
-    feat = _pad_rows(feat, m_pad)
-    o = _pad_rows(o, b_pad)
-    d = _pad_rows(d, b_pad)
-    z = _pad_rows(z, b_pad)
-    w = _pad_rows(weights, b_pad)
-    if g3.shape[1] != b_pad:
-        g3 = jnp.concatenate(
-            [g3, jnp.zeros((3, b_pad - g3.shape[1], N), g3.dtype)], 1)
-    return feat, o, d, z, g3, w, b_pad, m_pad
-
-
 @partial(jax.jit, static_argnames=("ck",))
-def _ray_fwd_impl(ws, bs, feat, o, d, z, g3, weights, ck):
+def _ray_fwd_impl(ws, bs, sdf_out, u, weights, ck):
     cfg = dict(ck)
     n_lin = cfg["n_layers"] + 1
     N = cfg["n_samples"]
-    d_feat = cfg["d_feat"]
-    B = weights.shape[0]
+    d_sdf = cfg["d_sdf"]
+    d_feat = d_sdf - 1
+    M, B = sdf_out.shape[0], weights.shape[0]
+    M_pad = M + ((-M) % TILE)
+    B_pad = M_pad // N
     rays_per_tile = TILE // N
-    feat_p, o_p, d_p, z_p, g3_p, w_p, b_pad, m_pad = _pad_ray_inputs(
-        feat, o, d, z, g3, weights, rays_per_tile, N)
+    sdf_p = _pad_rows(sdf_out, M_pad)
+    u_p = _pad_rows(u, M_pad)
+    w_p = _pad_rows(weights, B_pad)
     G, f, kind = (jnp.asarray(t)
                   for t in _ff_tables_np(cfg["multires_view"],
                                          9 + 6 * cfg["multires_view"]))
-    grid = m_pad // TILE
-    w0a, w0b = _split_lin0(ws, d_feat)
-    ray3_spec = pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    rayn_spec = pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    g3_spec = pl.BlockSpec((3, rays_per_tile, N), lambda i: (0, i, 0),
-                           memory_space=pltpu.VMEM)
+    grid = M_pad // TILE
     tile_specs = [
-        pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
+        pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        ray3_spec, ray3_spec, rayn_spec, g3_spec, rayn_spec,
+        pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
     ]
     out = pl.pallas_call(
-        _make_ray_fwd_kernel(n_lin, N),
+        _make_ray_fwd_kernel(n_lin, N, d_feat),
         grid=(grid,),
-        in_specs=tile_specs + _w_specs([G, f, kind])
-        + _w_specs([w0a, w0b]) + _w_specs(ws[1:]) + _w_specs(bs),
-        out_specs=ray3_spec,
-        out_shape=jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
+        in_specs=tile_specs + _w_specs([G, f, kind]) + _w_specs(ws)
+        + _w_specs(bs),
+        out_specs=pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B_pad, 3), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(feat_p, o_p, d_p, z_p, g3_p, w_p, G, f, kind, w0a, w0b,
-      *ws[1:], *bs)
+    )(sdf_p, u_p, w_p, G, f, kind, *ws, *bs)
     return out[:B]
 
 
 @partial(jax.jit, static_argnames=("ck",))
-def _ray_bwd_impl(ws, bs, feat, o, d, z, g3, weights, ct, ck):
+def _ray_bwd_impl(ws, bs, sdf_out, u, weights, ct, ck):
     cfg = dict(ck)
     n_lin = cfg["n_layers"] + 1
     N = cfg["n_samples"]
-    d_feat = cfg["d_feat"]
-    M, B = feat.shape[0], weights.shape[0]
+    d_sdf = cfg["d_sdf"]
+    d_feat = d_sdf - 1
+    M, B = sdf_out.shape[0], weights.shape[0]
+    M_pad = M + ((-M) % TILE)
+    B_pad = M_pad // N
     rays_per_tile = TILE // N
-    feat_p, o_p, d_p, z_p, g3_p, w_p, b_pad, m_pad = _pad_ray_inputs(
-        feat, o, d, z, g3, weights, rays_per_tile, N)
-    ct_p = _pad_rows(ct, b_pad)
+    sdf_p = _pad_rows(sdf_out, M_pad)
+    u_p = _pad_rows(u, M_pad)
+    w_p = _pad_rows(weights, B_pad)
+    ct_p = _pad_rows(ct, B_pad)
     G, f, kind = (jnp.asarray(t)
                   for t in _ff_tables_np(cfg["multires_view"],
                                          9 + 6 * cfg["multires_view"]))
-    grid = m_pad // TILE
-    w0a, w0b = _split_lin0(ws, d_feat)
-    wts = [w.T for w in ws[1:]]
-    ray3_spec = pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    rayn_spec = pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    g3_spec = pl.BlockSpec((3, rays_per_tile, N), lambda i: (0, i, 0),
-                           memory_space=pltpu.VMEM)
+    grid = M_pad // TILE
+    wts = [w.T for w in ws]
     in_specs = [
-        pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
+        pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        ray3_spec, ray3_spec, rayn_spec, g3_spec, rayn_spec, ray3_spec,
-    ] + _w_specs([G, f, kind]) + _w_specs([w0a, w0b]) + _w_specs(ws[1:]) \
-        + _w_specs(bs) + _w_specs([w0a.T, w0b.T]) + _w_specs(wts)
+        pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + _w_specs([G, f, kind]) + _w_specs(ws) + _w_specs(bs) + _w_specs(wts)
     out_specs = (
-        [pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
+        [pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
                       memory_space=pltpu.VMEM),
-         ray3_spec, ray3_spec, rayn_spec, g3_spec, rayn_spec]
-        + _w_specs([w0a, w0b]) + _w_specs(ws[1:]) + _w_specs(bs))
+         pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+         pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + _w_specs(ws) + _w_specs(bs))
     out_shapes = (
-        [jax.ShapeDtypeStruct((m_pad, d_feat), feat.dtype),
-         jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
-         jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
-         jax.ShapeDtypeStruct((b_pad, N), jnp.float32),
-         jax.ShapeDtypeStruct((3, b_pad, N), jnp.float32),
-         jax.ShapeDtypeStruct((b_pad, N), jnp.float32)]
-        + [jax.ShapeDtypeStruct(w0a.shape, jnp.float32),
-           jax.ShapeDtypeStruct(w0b.shape, jnp.float32)]
-        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws[1:]]
+        [jax.ShapeDtypeStruct((M_pad, d_sdf), jnp.float32),
+         jax.ShapeDtypeStruct((M_pad, 9), jnp.float32),
+         jax.ShapeDtypeStruct((B_pad, N), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
     outs = pl.pallas_call(
-        _make_ray_bwd_kernel(n_lin, N, feat.dtype),
+        _make_ray_bwd_kernel(n_lin, N, d_feat),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(feat_p, o_p, d_p, z_p, g3_p, w_p, ct_p, G, f, kind, w0a, w0b,
-      *ws[1:], *bs, w0a.T, w0b.T, *wts)
+    )(sdf_p, u_p, w_p, ct_p, G, f, kind, *ws, *bs, *wts)
     featbar = outs[0][:M]
-    obar, dbar, zbar = outs[1][:B], outs[2][:B], outs[3][:B]
-    g3bar = outs[4][:, :B]
-    dwgt = outs[5][:B]
-    dw0 = jnp.concatenate([outs[6], outs[7]], axis=0)
-    dws = [dw0] + list(outs[8:7 + n_lin])
-    dbs = [b[0] for b in outs[7 + n_lin:]]
-    return featbar, obar, dbar, zbar, g3bar, dwgt, dws, dbs
+    ubar = outs[1][:M]
+    dwgt = outs[2][:B]
+    dws = list(outs[3:3 + n_lin])
+    dbs = [b[0] for b in outs[3 + n_lin:]]
+    return featbar, ubar, dwgt, dws, dbs
 
 
-def ray_reference(params, cfg, feat, o, d, z, g3, weights):
+def ray_reference(params, cfg, sdf_out, u, weights):
     """Pure-JAX oracle with identical math (feature-first concat,
-    selection-matmul PE tail, per-ray composite, pts = o + d*z)."""
-    B, N = weights.shape
-    pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
-    dirs = jnp.broadcast_to(d[:, None, :], (B, N, 3)).reshape(-1, 3)
-    normals = jnp.moveaxis(g3, 0, -1).reshape(-1, 3)
+    selection-matmul PE tail, per-ray composite)."""
+    feat = sdf_out[:, 1:]
     small_in = assemble_featfirst(
-        cfg, pts, dirs, normals, feat.astype(jnp.float32))
+        cfg, u[:, 0:3], u[:, 3:6], u[:, 6:9], feat)
     p2 = permute_params_featfirst(params, cfg)
     c = apply_from_concat(p2, cfg, small_in)
+    B, N = weights.shape
     return (c.reshape(B, N, 3) * weights[:, :, None]).sum(axis=1)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _ray_op(params, ck, feat, o, d, z, g3, weights):
+def _ray_op(params, ck, sdf_out, u, weights):
     cfg = dict(ck)
     ws, bs = _materialize_ff(params, cfg, cfg["n_layers"] + 1)
-    return _ray_fwd_impl(ws, bs, feat, o, d, z, g3, weights, ck)
+    return _ray_fwd_impl(ws, bs, sdf_out, u, weights, ck)
 
 
-def _ray_fwd(params, ck, feat, o, d, z, g3, weights):
-    return (_ray_op(params, ck, feat, o, d, z, g3, weights),
-            (params, feat, o, d, z, g3, weights))
+def _ray_fwd(params, ck, sdf_out, u, weights):
+    return _ray_op(params, ck, sdf_out, u, weights), (params, sdf_out, u,
+                                                      weights)
 
 
 def _ray_bwd(ck, res, ct):
-    params, feat, o, d, z, g3, weights = res
+    params, sdf_out, u, weights = res
     cfg = dict(ck)
     if os.environ.get("FMOV_FUSED_COLOR_BWD", "1") == "0":
         _, vjp = jax.vjp(
-            lambda p, s, oo, dd, zz, gg, w: ray_reference(
-                p, cfg, s, oo, dd, zz, gg, w),
-            params, feat, o, d, z, g3, weights)
+            lambda p, s, uu, w: ray_reference(p, cfg, s, uu, w),
+            params, sdf_out, u, weights)
         return vjp(ct)
     n_lin = cfg["n_layers"] + 1
     (ws, bs), mat_vjp = jax.vjp(
         lambda p: _materialize_ff(p, cfg, n_lin), params)
-    featbar, obar, dbar, zbar, g3bar, dwgt, dws, dbs = _ray_bwd_impl(
-        ws, bs, feat, o, d, z, g3, weights, ct, ck)
+    featbar, ubar, dwgt, dws, dbs = _ray_bwd_impl(
+        ws, bs, sdf_out, u, weights, ct, ck)
     (pbar,) = mat_vjp((dws, [db[None, :] for db in dbs]))
-    return pbar, featbar, obar, dbar, zbar, g3bar, dwgt
+    return pbar, featbar, ubar, dwgt
 
 
 _ray_op.defvjp(_ray_fwd, _ray_bwd)
 
 
-def color_fused_ray(params, cfg, feat, rays_o, rays_d, z_mid, g3,
-                    weights):
-    """Composited fused color from per-ray geometry: feat [B*N, d_feat]
-    (ALIGNED fused-SDF feature, f32 or bf16), rays_o/rays_d [B, 3],
-    z_mid [B, N], g3 [3, B, N] gradient planes, weights [B, N].
-    pts/dirs/normals are built IN-KERNEL (no 42x-padded [M, 9] u array
-    crosses HBM).  Returns color [B, 3].  Gradients flow to params,
-    feat (in feat's dtype), rays_o, rays_d, z_mid, g3 and weights."""
+def color_fused_ray(params, cfg, sdf_out, u, weights):
+    """Composited fused color: sdf_out [M, 1+d_feat] (raw fused-SDF
+    output), u [M, 9] = [pts|dirs|normals], weights [B, N] (M = B*N).
+    Returns color [B, 3].  Gradients flow to params, sdf_out (feature
+    columns), u, and weights."""
     B, N = weights.shape
-    ck = _ray_cfg_key(cfg, N, feat.shape[1])
-    return _ray_op(params, ck, feat, rays_o, rays_d, z_mid, g3, weights)
+    ck = _ray_cfg_key(cfg, N, sdf_out.shape[1])
+    return _ray_op(params, ck, sdf_out, u, weights)

@@ -129,21 +129,6 @@ def _dot(a, b):
                    preferred_element_type=jnp.float32)
 
 
-def _dot_lastcol(inp, w_col):
-    """[T, W] x [1, W] -> [T, 1] bf16 contraction with f32 accumulation.
-
-    Written as an explicit bf16-round -> f32 multiply -> lane reduction:
-    Mosaic rejects the equivalent narrow dot_general (its 1-wide-output
-    multiply+reduce lowering emits a bf16->f32 `vector.broadcast` that
-    fails MLIR verification on v5e, jax 0.9).  f32 products of
-    bf16-rounded operands are exact (<=16 significand bits each), so this
-    matches the MXU contraction up to f32 summation order.
-    """
-    a = inp.astype(jnp.bfloat16).astype(jnp.float32)
-    b = w_col.astype(jnp.bfloat16).astype(jnp.float32)
-    return jnp.sum(a * b, axis=-1, keepdims=True)
-
-
 # ------------------------------------------------------------------
 # Lane-friendly (matmul-form) positional encoding.
 #
@@ -675,83 +660,45 @@ def _sdf_bwd_impl(ws, bs, x, ybar, gbar_inp, cfg_key):
 # ------------------------------------------------------------------
 
 
-def _flat_from_ray(O, Smask, ray_vals, hp):
-    """[R, N] per-ray values -> [T, 1] flat column (exact one-hot)."""
-    return jnp.sum(jnp.dot(O, ray_vals, precision=hp) * Smask,
-                   axis=1, keepdims=True)
-
-
-def _ray_from_flat(O, Smask, col, hp):
-    """[T, 1] flat column -> [R, N] per-ray layout (exact one-hot)."""
-    return jax.lax.dot_general(
-        O, col * Smask, (((0,), (0,)), ((), ())),
-        precision=hp, preferred_element_type=jnp.float32)
-
-
-def _build_xs(o_ref, d_ref, z_ref, O, Smask, hp):
-    """pts [T, 3] from per-ray origin/dir [R, 3] + z [R, N] in-kernel.
-
-    The [M, 3] pts array this replaces stores 128-lane padded in HBM
-    (42x: 512 MB at 1M samples) and was written by XLA + read by every
-    kernel pass; per-ray blocks are a few KB."""
-    o_t = jnp.dot(O, o_ref[:], precision=hp)
-    d_t = jnp.dot(O, d_ref[:], precision=hp)
-    z_flat = _flat_from_ray(O, Smask, z_ref[:], hp)
-    return o_t + d_t * z_flat, d_t, z_flat
-
-
-def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, feat_dtype):
+def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples):
     skip_in = tuple(cfg.get("skip_in", (4,)))
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     hp = jax.lax.Precision.HIGHEST
 
     def kernel(*refs):
-        # weights arrive with the LAST layer pre-split host-side into
-        # w_feat [256, d_out-1] / b_feat and the sdf column w_last_col
-        # [1, 256] / b_sdf [1, 1]: the feature then leaves the kernel as
-        # an ALIGNED [T, 256] block (a [T, 257] out forces a lane-offset
-        # slice in every consumer and pads its DMA tiles 257->384 lanes).
-        # Geometry arrives PER-RAY (o/d [R,3], z [R,N]) and pts is built
-        # in-kernel; the gradient leaves as [3]-leading channel planes
-        # g3 [3, R, N] (fully lane-packed) instead of [T, 3] (42x pad).
-        o_ref, d_ref, z_ref = refs[0], refs[1], refs[2]
-        g_ref, f_ref, k_ref = refs[3], refs[4], refs[5]
-        ws = [refs[6 + i][:] for i in range(n_lin - 1)]
-        w_feat = refs[5 + n_lin][:]
-        bs = [refs[6 + n_lin + i][:] for i in range(n_lin - 1)]
-        b_feat = refs[5 + 2 * n_lin][:]
-        b_sdf = refs[6 + 2 * n_lin][:]
-        wts = [refs[7 + 2 * n_lin + i][:] for i in range(n_lin - 1)]
-        w_last_col = refs[6 + 3 * n_lin][:]
-        feat_ref = refs[7 + 3 * n_lin]
-        sdfbn_ref = refs[8 + 3 * n_lin]
-        g3_ref = refs[9 + 3 * n_lin]
-
-        T = n_samples * z_ref.shape[0]
-        O, Smask = _ray_onehots(T, n_samples)
-        xs, _, _ = _build_xs(o_ref, d_ref, z_ref, O, Smask, hp)
+        xs_ref = refs[0]
+        g_ref, f_ref, k_ref = refs[1], refs[2], refs[3]
+        ws = [refs[4 + i][:] for i in range(n_lin)]
+        bs = [refs[4 + n_lin + i][:] for i in range(n_lin)]
+        wts = [refs[4 + 2 * n_lin + i][:] for i in range(n_lin - 1)]
+        w_last_col = refs[3 + 3 * n_lin][:]
+        out_ref = refs[4 + 3 * n_lin]
+        sdfbn_ref = refs[5 + 3 * n_lin]
+        grad_ref = refs[6 + 3 * n_lin]
 
         scale = cfg.get("scale", 1.0)
-        xs_s = xs * scale
+        xs_s = xs_ref[:] * scale
         pe = _PETile(xs_s, g_ref, f_ref, k_ref)
         xe = pe.xe()
 
         h = xe
         sigs = []
-        for l in range(n_lin - 1):
+        for l in range(n_lin):
             inp = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
                    if l in skip_in else h)
             z = _dot(inp, ws[l]) + bs[l]
-            h, sig = _act_pair(z)
-            sigs.append(sig)
-        inp_last = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
-                    if (n_lin - 1) in skip_in else h)
-        feat_ref[:] = (_dot(inp_last, w_feat) + b_feat).astype(feat_dtype)
-        # sdf via the same bf16 contraction the fused [256,257] matmul
-        # used for its column 0 (w_last_col is [1, 256]: contract lanes)
-        sdf_col = (_dot_lastcol(inp_last, w_last_col) + b_sdf) / scale
-        # sdf_bn[r, j] = sdf_col[r*N + j, 0]: exact one-hot contraction
-        sdfbn_ref[:] = _ray_from_flat(O, Smask, sdf_col, hp)
+            if l < n_lin - 1:
+                h, sig = _act_pair(z)
+                sigs.append(sig)
+            else:
+                h = z
+        out = jnp.concatenate([h[:, :1] / scale, h[:, 1:]], axis=-1)
+        out_ref[:] = out
+        O, Smask = _ray_onehots(out.shape[0], n_samples)
+        # sdf_bn[r, j] = out[r*N + j, 0]: exact one-hot contraction
+        sdfbn_ref[:] = jax.lax.dot_general(
+            O, out[:, :1] * Smask, (((0,), (0,)), ((), ())),
+            precision=hp, preferred_element_type=jnp.float32)
 
         delta = jnp.broadcast_to(
             w_last_col, (xe.shape[0], w_last_col.shape[1]))
@@ -765,50 +712,7 @@ def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, feat_dtype):
                 delta = delta[:, :h_dim] * inv_sqrt2
         d_inputs = d_inputs + delta
         # scale * (1/scale) on the sdf column cancels: grad is wrt raw x
-        grad = jnp.dot(d_inputs * pe.jac(), g_ref[:].T, precision=hp)
-        for c in range(3):
-            g3_ref[c] = _ray_from_flat(O, Smask, grad[:, c:c + 1], hp)
-
-    return kernel
-
-
-def _make_fwd_rays_only_kernel(cfg, n_lin, n_samples):
-    skip_in = tuple(cfg.get("skip_in", (4,)))
-    inv_sqrt2 = 1.0 / math.sqrt(2.0)
-    hp = jax.lax.Precision.HIGHEST
-
-    def kernel(*refs):
-        # forward-only sibling of _make_fwd_grad_rays_kernel for the
-        # gradient-free upsample loop (`renderer.py:168-242` runs under
-        # no_grad): per-ray o/d [R, 3] + z [R, N] in, sdf [R, N] out —
-        # no feature, no grad chain, and neither the [M, 3] pts nor a
-        # [M, 1] sdf column (both 42x/128x lane-padded) touch HBM
-        o_ref, d_ref, z_ref = refs[0], refs[1], refs[2]
-        g_ref, f_ref, k_ref = refs[3], refs[4], refs[5]
-        ws = [refs[6 + i][:] for i in range(n_lin - 1)]
-        bs = [refs[5 + n_lin + i][:] for i in range(n_lin - 1)]
-        b_sdf = refs[4 + 2 * n_lin][:]
-        w_last_col = refs[5 + 2 * n_lin][:]
-        sdfbn_ref = refs[6 + 2 * n_lin]
-
-        T = n_samples * z_ref.shape[0]
-        O, Smask = _ray_onehots(T, n_samples)
-        xs, _, _ = _build_xs(o_ref, d_ref, z_ref, O, Smask, hp)
-
-        scale = cfg.get("scale", 1.0)
-        pe = _PETile(xs * scale, g_ref, f_ref, k_ref)
-        xe = pe.xe()
-
-        h = xe
-        for l in range(n_lin - 1):
-            inp = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
-                   if l in skip_in else h)
-            h = _softplus100(_dot(inp, ws[l]) + bs[l])
-        inp_last = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
-                    if (n_lin - 1) in skip_in else h)
-        # same bf16 lane contraction as the fwd+grad kernel's column 0
-        sdf_col = (_dot_lastcol(inp_last, w_last_col) + b_sdf) / scale
-        sdfbn_ref[:] = _ray_from_flat(O, Smask, sdf_col, hp)
+        grad_ref[:] = jnp.dot(d_inputs * pe.jac(), g_ref[:].T, precision=hp)
 
     return kernel
 
@@ -818,85 +722,60 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
     S = skip_in[0] if skip_in else -1
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     hp = jax.lax.Precision.HIGHEST
-    L = n_lin - 1   # hidden linears; the last layer arrives SPLIT
 
     def kernel(*refs):
-        # Last layer is handled in split form (w_feat / w_last_col), so
-        # no [T, 257] ybar concat, no wasted last-layer matmul in the
-        # forward recompute, and the feature cotangent arrives as an
-        # ALIGNED [T, 256] block.  Weight grads for it leave as
-        # dwfeat [256, 256] + dwcolT [1, 256] (the column grad
-        # TRANSPOSED: both Phase A's col_bar and Phase B's sum(inp*ct0)
-        # are naturally [1, 256] rows — the host re-assembles).
-        # Geometry arrives per-ray (o/d/z) and pts is rebuilt in-kernel;
-        # the grad cotangent arrives as planes ct_g3 [3, R, N] and the
-        # xs cotangent leaves as per-ray reductions obar/dbar [R, 3] +
-        # zbar [R, N] — nothing 42x-padded crosses HBM.
-        o_ref, d_ref, z_ref = refs[0], refs[1], refs[2]
-        ctfeat_ref, ctsdf_ref, ctg3_ref = refs[3], refs[4], refs[5]
-        g_ref, f_ref, k_ref = refs[6], refs[7], refs[8]
-        ws = [refs[9 + i][:] for i in range(L)]
-        bs = [refs[9 + L + i][:] for i in range(L)]
-        wts = [refs[9 + 2 * L + i][:] for i in range(L)]
-        wfeat_t_ref = refs[9 + 3 * L]
-        w_last_col = refs[10 + 3 * L][:]
-        obar_ref = refs[11 + 3 * L]
-        dbar_ref = refs[12 + 3 * L]
-        zbar_ref = refs[13 + 3 * L]
-        dws = [refs[14 + 3 * L + i] for i in range(L)]
-        dwfeat_ref = refs[14 + 4 * L]
-        dwcolt_ref = refs[15 + 4 * L]
-        dbs = [refs[16 + 4 * L + i] for i in range(L)]
-        dbfeat_ref = refs[16 + 5 * L]
-        dbsdf_ref = refs[17 + 5 * L]
+        xs_ref, ctout_ref, ctsdf_ref, ctgrad_ref = refs[:4]
+        g_ref, f_ref, k_ref = refs[4], refs[5], refs[6]
+        ws = [refs[7 + i][:] for i in range(n_lin)]
+        bs = [refs[7 + n_lin + i][:] for i in range(n_lin)]
+        wts = [refs[7 + 2 * n_lin + i][:] for i in range(n_lin)]
+        xsbar_ref = refs[7 + 3 * n_lin]
+        dws = [refs[8 + 3 * n_lin + i] for i in range(n_lin)]
+        dbs = [refs[8 + 4 * n_lin + i] for i in range(n_lin)]
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
-            for l in range(L):
+            for l in range(n_lin):
                 dws[l][:] = jnp.zeros_like(dws[l])
                 dbs[l][:] = jnp.zeros_like(dbs[l])
-            dwfeat_ref[:] = jnp.zeros_like(dwfeat_ref)
-            dwcolt_ref[:] = jnp.zeros_like(dwcolt_ref)
-            dbfeat_ref[:] = jnp.zeros_like(dbfeat_ref)
-            dbsdf_ref[:] = jnp.zeros_like(dbsdf_ref)
-
-        T = n_samples * z_ref.shape[0]
-        O, Smask = _ray_onehots(T, n_samples)
-        xs, d_t, z_flat = _build_xs(o_ref, d_ref, z_ref, O, Smask, hp)
 
         scale = cfg.get("scale", 1.0)
-        xs_s = xs * scale
+        xs_s = xs_ref[:] * scale
         pe = _PETile(xs_s, g_ref, f_ref, k_ref)
         xe = pe.xe()
         jac = pe.jac()
+        T = xe.shape[0]
 
-        ct_feat = ctfeat_ref[:].astype(jnp.float32)
+        ct_out = ctout_ref[:]
         # ct_sdf [R, N] -> flat column [T, 1] via exact one-hot dots
-        ct0 = _flat_from_ray(O, Smask, ctsdf_ref[:], hp) / scale
-        ct_grad = jnp.concatenate(
-            [_flat_from_ray(O, Smask, ctg3_ref[c], hp) for c in range(3)],
-            axis=-1)
+        O, Smask = _ray_onehots(T, n_samples)
+        ct_sdf = jnp.sum(
+            jnp.dot(O, ctsdf_ref[:], precision=hp) * Smask,
+            axis=1, keepdims=True)
+        ct_grad = ctgrad_ref[:]
+        ybar = jnp.concatenate(
+            [(ct_out[:, :1] + ct_sdf) / scale, ct_out[:, 1:]], axis=-1)
         ct_grad_G = jnp.dot(ct_grad, g_ref[:], precision=hp)
         gbar = ct_grad_G * jac                      # pe_jvp(xs, ct_grad)
 
-        # forward, storing activations and sigmoids (hidden layers only:
-        # the split form never needs the last pre-activation)
+        # forward, storing activations and sigmoids
         acts = []
         sigs = []
         h = xe
-        for l in range(L):
+        for l in range(n_lin):
             inp = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
                    if l == S else h)
             z = _dot(inp, ws[l]) + bs[l]
-            h, sig = _act_pair(z)
-            acts.append(h)
-            sigs.append(sig)
+            if l < n_lin - 1:
+                h, sig = _act_pair(z)
+                acts.append(h)
+                sigs.append(sig)
 
         # primal gradient chain, storing d_l and the full xe-cotangent
         # (d_inputs, needed for the PE second-derivative term)
         ds = [None] * n_lin
         ds[n_lin - 1] = jnp.broadcast_to(
-            w_last_col, (T, w_last_col.shape[1]))
+            wts[n_lin - 1][0:1, :], (T, wts[n_lin - 1].shape[1]))
         d_inputs = jnp.zeros_like(xe)
         for l in range(n_lin - 2, -1, -1):
             e = ds[l + 1] * sigs[l]
@@ -912,7 +791,7 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
         # Phase A: reverse the gradient chain (ascend l)
         zbar_chain = [None] * n_lin
         dbar = gbar
-        for l in range(0, L):
+        for l in range(0, n_lin - 1):
             if l == S:
                 fbar = jnp.concatenate(
                     [dbar * inv_sqrt2, gbar * inv_sqrt2], axis=-1)
@@ -927,29 +806,18 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
             dbar = ebar * sp
             spp = 100.0 * sp * (1.0 - sp)
             zbar_chain[l] = ebar * ds[l + 1] * spp
-        dwcolt_ref[:] += jnp.sum(dbar, axis=0, keepdims=True)
+        col_bar = jnp.sum(dbar, axis=0, keepdims=True)
+        onehot = (jax.lax.broadcasted_iota(
+            jnp.int32, (1, ws[n_lin - 1].shape[1]), 1) == 0).astype(
+            jnp.float32)
+        dws[n_lin - 1][:] += jax.lax.dot_general(
+            col_bar, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-        # Phase B: reverse the forward chain, last (split) layer first
-        inp_last = (jnp.concatenate([acts[L - 1], xe], axis=-1) * inv_sqrt2
-                    if L == S else acts[L - 1])
-        dwfeat_ref[:] += jax.lax.dot_general(
-            inp_last.astype(jnp.bfloat16), ct_feat.astype(jnp.bfloat16),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dwcolt_ref[:] += jnp.sum(inp_last * ct0, axis=0, keepdims=True)
-        dbfeat_ref[:] += jnp.sum(ct_feat, axis=0, keepdims=True)
-        dbsdf_ref[:] += jnp.sum(ct0, axis=0, keepdims=True)
-        inpbar = _dot(ct_feat, wfeat_t_ref[:]) + ct0 * w_last_col
+        # Phase B: reverse the forward chain (descend l)
         xebar = jnp.zeros_like(xe)
-        if L == S:
-            h_dim = inpbar.shape[1] - xe.shape[1]
-            xebar = xebar + inpbar[:, h_dim:] * inv_sqrt2
-            ibar = inpbar[:, :h_dim] * inv_sqrt2
-        else:
-            ibar = inpbar
-        zbar = ibar * sigs[L - 1] + (zbar_chain[L - 1]
-                                     if zbar_chain[L - 1] is not None
-                                     else 0.0)
-        for l in range(L - 1, -1, -1):
+        zbar = ybar
+        for l in range(n_lin - 1, -1, -1):
             if l == 0:
                 inp = xe
             else:
@@ -974,213 +842,110 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
                 zbar = ibar * sigs[l - 1] + (extra if extra is not None
                                              else 0.0)
 
-        # xs cotangent fully in-kernel: pe_vjp(xs, xebar) + second term,
-        # then reduced per-ray THROUGH pts = o + d*z (exact one-hot
-        # contractions): obar = sum_j xsbar, dbar = sum_j z*xsbar,
-        # zbar = <xsbar, d> per sample
+        # xs cotangent fully in-kernel: pe_vjp(xs, xebar) + second term
         xsbar = jnp.dot(xebar * jac + ct_grad_G * d_inputs * pe.d2(),
-                        g_ref[:].T, precision=hp) * scale
-        obar_ref[:] = jax.lax.dot_general(
-            O, xsbar, (((0,), (0,)), ((), ())),
-            precision=hp, preferred_element_type=jnp.float32)
-        dbar_ref[:] = jax.lax.dot_general(
-            O, xsbar * z_flat, (((0,), (0,)), ((), ())),
-            precision=hp, preferred_element_type=jnp.float32)
-        s = jnp.sum(xsbar * d_t, axis=1, keepdims=True)
-        zbar_ref[:] = _ray_from_flat(O, Smask, s, hp)
+                        g_ref[:].T, precision=hp)
+        xsbar_ref[:] = xsbar * scale
 
     return kernel
 
 
-# dtype of the [M, d_feat] feature crossing to the color kernel.  bf16
-# is BIT-IDENTICAL downstream: the color kernel's first matmul casts its
-# operand to bf16 anyway, so rounding at the store equals rounding at
-# the load — and the tensor is ~1 GB/step at 1M samples (f32), the
-# single largest HBM crossing left on the fused path.
-FEAT_DTYPE = (jnp.bfloat16
-              if os.environ.get("FMOV_FEAT_BF16", "1") == "1"
-              else jnp.float32)
-
-
-def _pad_rays(o, d, z, rays_per_tile):
-    B = z.shape[0]
-    b_pad = B + ((-B) % rays_per_tile)
-    if b_pad != B:
-        pad = b_pad - B
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], 0)
-        d = jnp.concatenate([d, jnp.zeros((pad, 3), d.dtype)], 0)
-        z = jnp.concatenate([z, jnp.zeros((pad, z.shape[1]), z.dtype)], 0)
-    return o, d, z, b_pad
-
-
 @partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
-def _sdf_fwd_grad_rays_impl(ws, bs, o, d, z, cfg_key, n_samples):
+def _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples):
     cfg = dict(cfg_key)
     n_lin = len(ws)
-    d_feat = cfg["d_out"] - 1
+    d_out = cfg["d_out"]
+    xs, n = _pad_to_tile(x)
+    grid = xs.shape[0] // TILE
     rays_per_tile = TILE // n_samples
-    B = z.shape[0]
-    o_p, d_p, z_p, b_pad = _pad_rays(o, d, z, rays_per_tile)
-    m_pad = b_pad * n_samples
-    grid = m_pad // TILE
+    b_pad = xs.shape[0] // n_samples
     (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
     wts = [w.T for w in ws[:-1]]
     w_last_col = ws[-1][:, 0][None, :]
-    w_feat = ws[-1][:, 1:]
-    b_feat = bs[-1][:, 1:]
-    b_sdf = bs[-1][:, :1]
-    ws_in = list(ws[:-1]) + [w_feat]
-    bs_in = list(bs[:-1]) + [b_feat]
-    kernel = _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples, FEAT_DTYPE)
-    ray3_spec = pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    rayn_spec = pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    feat, sdf_bn, g3 = pl.pallas_call(
+    kernel = _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples)
+    out, sdf_bn, grad = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[ray3_spec, ray3_spec, rayn_spec]
-        + table_specs + _weight_specs(ws_in, bs_in)
-        + [pl.BlockSpec(b_sdf.shape, lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)]
+        in_specs=[pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + table_specs + _weight_specs(ws, bs)
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for w in wts]
         + [pl.BlockSpec(w_last_col.shape, lambda i: (0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
+            pl.BlockSpec((TILE, d_out), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            rayn_spec,
-            pl.BlockSpec((3, rays_per_tile, n_samples),
-                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((m_pad, d_feat), FEAT_DTYPE),
+            jax.ShapeDtypeStruct((xs.shape[0], d_out), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, n_samples), jnp.float32),
-            jax.ShapeDtypeStruct((3, b_pad, n_samples), jnp.float32),
+            jax.ShapeDtypeStruct((xs.shape[0], 3), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(o_p, d_p, z_p, G, f, kind, *ws_in, *bs_in, b_sdf, *wts, w_last_col)
-    return feat[:B * n_samples], sdf_bn[:B], g3[:, :B]
+    )(xs, G, f, kind, *ws, *bs, *wts, w_last_col)
+    return out[:n], sdf_bn[:n // n_samples], grad[:n]
 
 
 @partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
-def _sdf_only_rays_impl(ws, bs, o, d, z, cfg_key, n_samples):
-    cfg = dict(cfg_key)
-    n_lin = len(ws)
-    rays_per_tile = TILE // n_samples
-    B = z.shape[0]
-    o_p, d_p, z_p, b_pad = _pad_rays(o, d, z, rays_per_tile)
-    grid = (b_pad * n_samples) // TILE
-    (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
-    ws_h = list(ws[:-1])
-    bs_h = list(bs[:-1])
-    b_sdf = bs[-1][:, :1]
-    w_last_col = ws[-1][:, 0][None, :]
-    kernel = _make_fwd_rays_only_kernel(cfg, n_lin, n_samples)
-    ray3_spec = pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    rayn_spec = pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    sdf_bn = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[ray3_spec, ray3_spec, rayn_spec]
-        + table_specs + _weight_specs(ws_h, bs_h)
-        + [pl.BlockSpec(b_sdf.shape, lambda i: (0, 0),
-                        memory_space=pltpu.VMEM),
-           pl.BlockSpec(w_last_col.shape, lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)],
-        out_specs=rayn_spec,
-        out_shape=jax.ShapeDtypeStruct((b_pad, n_samples), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
-        interpret=_interpret(),
-    )(o_p, d_p, z_p, G, f, kind, *ws_h, *bs_h, b_sdf, w_last_col)
-    return sdf_bn[:B]
-
-
-@partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
-def _sdf_bwd_rays_impl(ws, bs, o, d, z, ct_feat, ct_sdf, ct_g3, cfg_key,
+def _sdf_bwd_rays_impl(ws, bs, x, ct_out, ct_sdf, ct_grad, cfg_key,
                        n_samples):
     cfg = dict(cfg_key)
     n_lin = len(ws)
-    L = n_lin - 1
-    d_feat = cfg["d_out"] - 1
-    rays_per_tile = TILE // n_samples
-    B = z.shape[0]
-    o_p, d_p, z_p, b_pad = _pad_rays(o, d, z, rays_per_tile)
-    m_pad = b_pad * n_samples
-    ctfeat_p = ct_feat
-    if ctfeat_p.shape[0] != m_pad:
-        ctfeat_p = jnp.concatenate(
-            [ctfeat_p, jnp.zeros((m_pad - ctfeat_p.shape[0], d_feat),
-                                 ctfeat_p.dtype)], 0)
+    d_out = cfg["d_out"]
+    xs, n = _pad_to_tile(x)
+    ctout_p, _ = _pad_to_tile(ct_out)
+    ctgrad_p, _ = _pad_to_tile(ct_grad)
+    b_pad = xs.shape[0] // n_samples
     ct_sdf_p = ct_sdf
-    ct_g3_p = ct_g3
     if ct_sdf_p.shape[0] != b_pad:
-        pad = b_pad - ct_sdf_p.shape[0]
         ct_sdf_p = jnp.concatenate(
-            [ct_sdf_p, jnp.zeros((pad, n_samples), ct_sdf_p.dtype)], 0)
-        ct_g3_p = jnp.concatenate(
-            [ct_g3_p, jnp.zeros((3, pad, n_samples), ct_g3_p.dtype)], 1)
-    grid = m_pad // TILE
+            [ct_sdf_p, jnp.zeros((b_pad - ct_sdf_p.shape[0], n_samples),
+                                 ct_sdf_p.dtype)], 0)
+    grid = xs.shape[0] // TILE
+    rays_per_tile = TILE // n_samples
     (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
-    ws_h, bs_h = list(ws[:-1]), list(bs[:-1])
-    wts = [w.T for w in ws_h]
-    wfeat_t = ws[-1][:, 1:].T
-    w_last_col = ws[-1][:, 0][None, :]
+    wts = [w.T for w in ws]
     kernel = _make_bwd_rays_kernel(cfg, n_lin, n_samples)
-    d_hid = ws[-1].shape[0]
-    ray3_spec = pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    rayn_spec = pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    g3_spec = pl.BlockSpec((3, rays_per_tile, n_samples),
-                           lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     out_shapes = (
-        [jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
-         jax.ShapeDtypeStruct((b_pad, 3), jnp.float32),
-         jax.ShapeDtypeStruct((b_pad, n_samples), jnp.float32)]
-        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_h]
-        + [jax.ShapeDtypeStruct((d_hid, d_feat), jnp.float32),
-           jax.ShapeDtypeStruct((1, d_hid), jnp.float32)]
-        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs_h]
-        + [jax.ShapeDtypeStruct((1, d_feat), jnp.float32),
-           jax.ShapeDtypeStruct((1, 1), jnp.float32)])
-    out_specs = tuple(
-        [ray3_spec, ray3_spec, rayn_spec]
-        + [pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-           for s in out_shapes[3:]])
+        [jax.ShapeDtypeStruct((xs.shape[0], 3), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
+        + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
+    out_specs = (
+        [pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in ws]
+        + [pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for b in bs])
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[ray3_spec, ray3_spec, rayn_spec,
-                  pl.BlockSpec((TILE, d_feat), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((TILE, 3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  rayn_spec, g3_spec]
-        + table_specs + _weight_specs(ws_h, bs_h)
+                  pl.BlockSpec((TILE, d_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + table_specs + _weight_specs(ws, bs)
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-           for w in wts]
-        + [pl.BlockSpec(wfeat_t.shape, lambda i: (0, 0),
-                        memory_space=pltpu.VMEM),
-           pl.BlockSpec(w_last_col.shape, lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)],
-        out_specs=out_specs,
+           for w in wts],
+        out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
-    )(o_p, d_p, z_p, ctfeat_p, ct_sdf_p, ct_g3_p, G, f, kind,
-      *ws_h, *bs_h, *wts, wfeat_t, w_last_col)
-    obar, dbar, zbar = outs[0][:B], outs[1][:B], outs[2][:B]
-    dws = list(outs[3:3 + L])
-    dwfeat, dwcolt = outs[3 + L], outs[4 + L]
-    dbs_h = [b[0] for b in outs[5 + L:5 + 2 * L]]
-    dbfeat, dbsdf = outs[5 + 2 * L], outs[6 + 2 * L]
-    # re-assemble the reference-shaped last-layer grads
-    dws.append(jnp.concatenate([dwcolt.T, dwfeat], axis=1))
-    dbs_h.append(jnp.concatenate([dbsdf, dbfeat], axis=1)[0])
-    return obar, dbar, zbar, dws, dbs_h
+    )(xs, ctout_p, ct_sdf_p, ctgrad_p, G, f, kind, *ws, *bs, *wts)
+    xbar = outs[0][:n]
+    dws = list(outs[1:1 + n_lin])
+    dbs = [b[0] for b in outs[1 + n_lin:]]
+    return xbar, dws, dbs
 
 
 def _cfg_key(cfg):
@@ -1313,75 +1078,48 @@ def _sdf_apply_grad_bwd(cfg_key, res, cts):
 _sdf_apply_grad_op.defvjp(_sdf_apply_grad_fwd, _sdf_apply_grad_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _sdf_rays_op(params, cfg_key, o, d, z):
+@partial(jax.custom_vjp, nondiff_argnums=(1, 3))
+def _sdf_rays_op(params, cfg_key, x, n_samples):
     ws, bs = _materialize(params, dict(cfg_key))
-    return _sdf_fwd_grad_rays_impl(ws, bs, o, d, z, cfg_key, z.shape[1])
+    return _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples)
 
 
-def _sdf_rays_fwd(params, cfg_key, o, d, z):
-    return _sdf_rays_op(params, cfg_key, o, d, z), (params, o, d, z)
+def _sdf_rays_fwd(params, cfg_key, x, n_samples):
+    return _sdf_rays_op(params, cfg_key, x, n_samples), (params, x)
 
 
-def _sdf_rays_bwd(cfg_key, res, cts):
-    params, o, d, z = res
-    ct_feat, ct_sdf, ct_g3 = cts
-    n_samples = z.shape[1]
+def _sdf_rays_bwd(cfg_key, n_samples, res, cts):
+    params, x = res
+    ct_out, ct_sdf, ct_grad = cts
     if os.environ.get("FMOV_FUSED_BWD", "1") == "0":
         # XLA reference oracle through the unfused nets
         cfg = dict(cfg_key)
 
-        def ref(p, oo, dd, zz):
-            pts = (oo[:, None, :] + dd[:, None, :]
-                   * zz[..., None]).reshape(-1, 3)
+        def ref(p, pts):
             out = nets.sdf_apply(p, cfg, pts)
             grad = nets.sdf_gradient(p, cfg, pts)
             sdf_bn = out[:, 0].reshape(-1, n_samples)
-            g3 = jnp.moveaxis(grad.reshape(-1, n_samples, 3), -1, 0)
-            return out[:, 1:].astype(FEAT_DTYPE), sdf_bn, g3
+            return out, sdf_bn, grad
 
-        _, vjp = jax.vjp(ref, params, o, d, z)
-        return vjp((ct_feat, ct_sdf, ct_g3))
+        _, vjp = jax.vjp(ref, params, x)
+        return vjp((ct_out, ct_sdf, ct_grad))
     (ws, bs), mat_vjp = jax.vjp(
         lambda p: _materialize(p, dict(cfg_key)), params)
-    obar, dbar, zbar, dws, dbs = _sdf_bwd_rays_impl(
-        ws, bs, o, d, z, ct_feat, ct_sdf, ct_g3, cfg_key, n_samples)
+    xbar, dws, dbs = _sdf_bwd_rays_impl(
+        ws, bs, x, ct_out, ct_sdf, ct_grad, cfg_key, n_samples)
     (pbar,) = mat_vjp((dws, [db[None, :] for db in dbs]))
-    return pbar, obar, dbar, zbar
+    return pbar, xbar
 
 
 _sdf_rays_op.defvjp(_sdf_rays_fwd, _sdf_rays_bwd)
 
 
-def sdf_apply_grad_fused_rays(params, cfg, rays_o, rays_d, z_mid):
-    """(feat [B*N, d_out-1], sdf_bn [B, N], g3 [3, B, N]) from per-ray
-    geometry (rays_o/rays_d [B, 3], z_mid [B, N]): pts are built
-    IN-KERNEL, PE and every PE-derivative chain are fused, the last
-    layer is split so the feature leaves lane-ALIGNED (FEAT_DTYPE, bf16
-    by default — bit-identical to the color kernel's own bf16 cast),
-    and the gradient leaves as fully lane-packed channel planes instead
-    of a 42x-padded [M, 3].  The backward reduces the pts cotangent
-    per-ray through pts = o + d*z (obar/dbar [B, 3], zbar [B, N]).
-    Requires TILE % N == 0 (each tile holds whole rays)."""
-    return _sdf_rays_op(params, _cfg_key(cfg), rays_o, rays_d, z_mid)
-
-
-def sdf_only_fused_rays(params, cfg, rays_o, rays_d, z_vals):
-    """sdf [B, N] at pts = o + d*z, geometry built IN-KERNEL.
-
-    Forward-only: the SDF-guided upsample loop runs under no_grad in the
-    reference (`renderer.py:424`), so no vjp is defined and EVERY input
-    is detached here — rays_o/rays_d carry pose-network tangents inside
-    the train step, and jvp tracing needs a rule at the pallas_call
-    itself even when the output's tangent is dropped downstream.
-    Matches sdf_only_fused(pts)[:, 0] up to the shared bf16 matmul
-    rounding (identical contraction order for the sdf column)."""
-    cfg_key = _cfg_key(cfg)
-    ws, bs = _materialize(params, dict(cfg_key))
-    sg = jax.lax.stop_gradient
-    return _sdf_only_rays_impl(
-        sg(ws), sg(bs), sg(rays_o), sg(rays_d), sg(z_vals),
-        cfg_key, z_vals.shape[1])
+def sdf_apply_grad_fused_rays(params, cfg, x, n_samples: int):
+    """(out [M, d_out], sdf_bn [M//n_samples, n_samples], grad [M, 3])
+    with PE and every PE-derivative chain fused in-kernel, and the
+    backward taking naturally-shaped split cotangents.  Requires
+    TILE % n_samples == 0 (each tile holds whole rays)."""
+    return _sdf_rays_op(params, _cfg_key(cfg), x, n_samples)
 
 
 # below this many total samples the rays variant loses to the plain
@@ -1394,278 +1132,6 @@ MIN_SAMPLES_RAYS = int(os.environ.get("FMOV_FUSED_RAYS_MIN", "65536"))
 
 def supported_rays(cfg, n_samples: int, n_pts: int = None) -> bool:
     ok = supported(cfg) and TILE % n_samples == 0
-    if n_pts is not None:
-        ok = ok and n_pts >= MIN_SAMPLES_RAYS
-    return ok
-
-
-# ------------------------------------------------------------------
-# Whole-upsample-loop kernel (round 3): the SDF-guided hierarchical
-# sampling loop (`renderer.py:374-446`: 4x {section alpha -> weights ->
-# inverse-CDF draw -> SDF eval at new z -> sorted merge}) runs start to
-# finish in ONE forward-only pallas kernel.  The XLA loop — even with
-# fused per-round evals — still pays 4 variadic lax.sorts, 4 compare-all
-# sample_pdf passes and 5 kernel-boundary crossings per step (~10 ms of
-# the phase-2 step at 8192x128 on v5e).  In VMEM per ray tile:
-#   * transmittance cumprod / CDF cumsum: log-step lane-shift trees,
-#   * inverse-CDF draw: the det-mode u grid is static, so each of the k
-#     draws is a handful of masked lane reductions,
-#   * merge: k sequential sorted insertions (ascending draws ->
-#     stable-tie equivalent to the variadic sort in core/sampling.py),
-# and the per-round SDF evals reuse the in-kernel PE+MLP of
-# _make_fwd_rays_only_kernel.  Forward-only: the loop runs under
-# stop_gradient (`renderer.py:424` no_grad), no vjp is defined.
-# Gated by FMOV_FUSED_UPSAMPLE_FULL (default OFF until validated on a
-# real chip — interpret mode cannot catch Mosaic lowering failures; set
-# =1 to enable) on top of the usual fused-train + size gates.
-# ------------------------------------------------------------------
-
-_SENT = 1e10      # sentinel for not-yet-filled z lanes (sorts after all z)
-_BIG = 1e30       # masked-reduction identity
-
-
-def _shr_lanes(x, n, fill):
-    """Shift right by n along the lane (last) dim, filling with `fill`."""
-    return jnp.concatenate(
-        [jnp.full(x.shape[:-1] + (n,), fill, x.dtype), x[..., :-n]], axis=-1)
-
-
-def _shl_lanes(x, n, fill):
-    return jnp.concatenate(
-        [x[..., n:], jnp.full(x.shape[:-1] + (n,), fill, x.dtype)], axis=-1)
-
-
-def _cumsum_lanes(x, width):
-    """Inclusive prefix sum along lanes (log-step shifted adds)."""
-    s = 1
-    while s < width:
-        x = x + _shr_lanes(x, s, 0.0)
-        s *= 2
-    return x
-
-
-def _cumprod_excl_lanes(q, width):
-    """Exclusive prefix product along lanes: out[j] = prod_{i<j} q[i]."""
-    s = 1
-    p = q
-    while s < width:
-        p = p * _shr_lanes(p, s, 1.0)
-        s *= 2
-    return _shr_lanes(p, 1, 1.0)
-
-
-def _make_upsample_rays_kernel(cfg, n_lin, n0, k, steps, inv_s_base):
-    skip_in = tuple(cfg.get("skip_in", (4,)))
-    inv_sqrt2 = 1.0 / math.sqrt(2.0)
-    hp = jax.lax.Precision.HIGHEST
-    W = n0 + k * steps
-    u_grid = np.linspace(0.5 / k, 1.0 - 0.5 / k, k).astype(np.float64)
-
-    def kernel(*refs):
-        o_ref, d_ref, z0_ref = refs[0], refs[1], refs[2]
-        g_ref, f_ref, k_ref = refs[3], refs[4], refs[5]
-        ws = [refs[6 + i][:] for i in range(n_lin - 1)]
-        bs = [refs[5 + n_lin + i][:] for i in range(n_lin - 1)]
-        b_sdf = refs[4 + 2 * n_lin][:]
-        w_last_col = refs[5 + 2 * n_lin][:]
-        zout_ref = refs[6 + 2 * n_lin]
-
-        R = z0_ref.shape[0]
-        o = o_ref[:]
-        d = d_ref[:]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
-
-        def eval_sdf(zblock, n):
-            """sdf [R, n] at pts = o + d*z — the fwd-only rays MLP."""
-            T = R * n
-            O, Smask = _ray_onehots(T, n)
-            o_t = jnp.dot(O, o, precision=hp)
-            d_t = jnp.dot(O, d, precision=hp)
-            z_flat = _flat_from_ray(O, Smask, zblock, hp)
-            xs = o_t + d_t * z_flat
-            pe = _PETile(xs * cfg.get("scale", 1.0), g_ref, f_ref, k_ref)
-            xe = pe.xe()
-            h = xe
-            for l in range(n_lin - 1):
-                inp = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
-                       if l in skip_in else h)
-                h = _softplus100(_dot(inp, ws[l]) + bs[l])
-            inp_last = (jnp.concatenate([h, xe], axis=-1) * inv_sqrt2
-                        if (n_lin - 1) in skip_in else h)
-            sdf_col = (_dot_lastcol(inp_last, w_last_col)
-                       + b_sdf) / cfg.get("scale", 1.0)
-            return _ray_from_flat(O, Smask, sdf_col, hp)
-
-        # ray-constant radius coefficients: |o + z d|^2 expanded
-        o2 = jnp.sum(o * o, axis=-1, keepdims=True)
-        od = jnp.sum(o * d, axis=-1, keepdims=True)
-        d2 = jnp.sum(d * d, axis=-1, keepdims=True)
-
-        pad = W - n0
-        zbuf = jnp.concatenate(
-            [z0_ref[:], jnp.full((R, pad), _SENT, jnp.float32)], axis=-1)
-        sdfbuf = jnp.concatenate(
-            [eval_sdf(z0_ref[:], n0), jnp.zeros((R, pad), jnp.float32)],
-            axis=-1)
-
-        for i in range(steps):
-            n_i = n0 + i * k
-            inv_s = inv_s_base * 2.0 ** i
-            # --- section alpha on the current union (up_sample math) ---
-            z_next = _shl_lanes(zbuf, 1, _SENT)
-            s_next = _shl_lanes(sdfbuf, 1, 0.0)
-            rad = o2 + 2.0 * zbuf * od + zbuf * zbuf * d2
-            rad_next = _shl_lanes(rad, 1, _SENT)
-            inside = ((rad < 1.0) | (rad_next < 1.0)).astype(jnp.float32)
-            mid_sdf = (sdfbuf + s_next) * 0.5
-            cos_val = (s_next - sdfbuf) / (z_next - zbuf + 1e-5)
-            prev_cos = _shr_lanes(cos_val, 1, 0.0)
-            cos_val = jnp.minimum(prev_cos, cos_val)
-            cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside
-            dist = z_next - zbuf
-            prev_cdf = jax.nn.sigmoid((mid_sdf - cos_val * dist * 0.5)
-                                      * inv_s)
-            next_cdf = jax.nn.sigmoid((mid_sdf + cos_val * dist * 0.5)
-                                      * inv_s)
-            alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
-            ivalid = lane < (n_i - 1)
-            alpha = jnp.where(ivalid, alpha, 0.0)
-            q = jnp.where(ivalid, 1.0 - alpha + 1e-7, 1.0)
-            weights = alpha * _cumprod_excl_lanes(q, W)
-
-            # --- sample_pdf (det mode), masked compare-all ---
-            w = jnp.where(ivalid, weights + 1e-5, 0.0)
-            pdf = w / jnp.sum(w, axis=-1, keepdims=True)
-            cdf_edge = _shr_lanes(_cumsum_lanes(pdf, W), 1, 0.0)
-            evalid = lane < n_i
-            last_cdf = jnp.max(jnp.where(evalid, cdf_edge, -_BIG),
-                               axis=-1, keepdims=True)
-            last_bin = jnp.max(jnp.where(evalid, zbuf, -_BIG),
-                               axis=-1, keepdims=True)
-            cols = []
-            for u in u_grid:
-                u = float(u)
-                le = evalid & (cdf_edge <= u)
-                # count == 0 is impossible: edge 0 has cdf 0 <= u (u > 0)
-                cnt = jnp.sum(le.astype(jnp.float32), axis=-1,
-                              keepdims=True)
-                cdf_b = jnp.max(jnp.where(le, cdf_edge, -_BIG),
-                                axis=-1, keepdims=True)
-                bin_b = jnp.max(jnp.where(le, zbuf, -_BIG),
-                                axis=-1, keepdims=True)
-                gt = evalid & jnp.logical_not(le)
-                cdf_a = jnp.min(jnp.where(gt, cdf_edge, _BIG),
-                                axis=-1, keepdims=True)
-                bin_a = jnp.min(jnp.where(gt, zbuf, _BIG),
-                                axis=-1, keepdims=True)
-                empty_hi = cnt >= float(n_i)
-                cdf_a = jnp.where(empty_hi, last_cdf, cdf_a)
-                bin_a = jnp.where(empty_hi, last_bin, bin_a)
-                denom = cdf_a - cdf_b
-                denom = jnp.where(denom < 1e-5, jnp.ones_like(denom),
-                                  denom)
-                cols.append(bin_b + (u - cdf_b) / denom * (bin_a - bin_b))
-            new_z = jnp.concatenate(cols, axis=-1)          # [R, k] asc
-
-            # --- SDF at the new samples (skipped on the last round,
-            #     `renderer.py:222-242` last=True) ---
-            if i + 1 < steps:
-                new_sdf = eval_sdf(new_z, k)
-            else:
-                new_sdf = jnp.zeros((R, k), jnp.float32)
-
-            # --- k sorted insertions == stable two-list merge: draws
-            #     ascend, so insert-after-equals reproduces the variadic
-            #     sort's tie order (all existing before new) ---
-            for j in range(k):
-                b_j = new_z[:, j:j + 1]
-                s_j = new_sdf[:, j:j + 1]
-                cur_n = n_i + j
-                le_z = (zbuf <= b_j) & (lane < cur_n)
-                cnt = jnp.sum(le_z.astype(jnp.float32), axis=-1,
-                              keepdims=True).astype(jnp.int32)
-                z_sh = _shr_lanes(zbuf, 1, 0.0)
-                s_sh = _shr_lanes(sdfbuf, 1, 0.0)
-                at = lane == cnt
-                before = lane < cnt
-                zbuf = jnp.where(before, zbuf, jnp.where(at, b_j, z_sh))
-                sdfbuf = jnp.where(before, sdfbuf,
-                                   jnp.where(at, s_j, s_sh))
-
-        zout_ref[:] = zbuf
-
-    return kernel
-
-
-UPSAMPLE_TILE_RAYS = int(os.environ.get("FMOV_UPSAMPLE_TILE_RAYS", "32"))
-
-
-@partial(jax.jit, static_argnames=("cfg_key", "n0", "k", "steps",
-                                   "inv_s_base"))
-def _upsample_rays_impl(ws, bs, o, d, z0, cfg_key, n0, k, steps,
-                        inv_s_base):
-    cfg = dict(cfg_key)
-    n_lin = len(ws)
-    W = n0 + k * steps
-    R = UPSAMPLE_TILE_RAYS
-    B = z0.shape[0]
-    o_p, d_p, z_p, b_pad = _pad_rays(o, d, z0, R)
-    grid = b_pad // R
-    (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
-    ws_h = list(ws[:-1])
-    bs_h = list(bs[:-1])
-    b_sdf = bs[-1][:, :1]
-    w_last_col = ws[-1][:, 0][None, :]
-    kernel = _make_upsample_rays_kernel(cfg, n_lin, n0, k, steps,
-                                        inv_s_base)
-    ray3_spec = pl.BlockSpec((R, 3), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-    z0_spec = pl.BlockSpec((R, n0), lambda i: (i, 0),
-                           memory_space=pltpu.VMEM)
-    z_full = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[ray3_spec, ray3_spec, z0_spec]
-        + table_specs + _weight_specs(ws_h, bs_h)
-        + [pl.BlockSpec(b_sdf.shape, lambda i: (0, 0),
-                        memory_space=pltpu.VMEM),
-           pl.BlockSpec(w_last_col.shape, lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((R, W), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b_pad, W), jnp.float32),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
-        interpret=_interpret(),
-    )(o_p, d_p, z_p, G, f, kind, *ws_h, *bs_h, b_sdf, w_last_col)
-    return z_full[:B]
-
-
-def upsample_fused_rays(params, cfg, rays_o, rays_d, z_vals, n_importance,
-                        steps, inv_s_base=64.0):
-    """z [B, n0 + n_importance] — the full SDF-guided upsample loop
-    (`renderer.py:423-446`: up_sample/cat_z_vals x steps) in one
-    forward-only kernel.  z_vals [B, n0] must be per-ray ascending (it
-    is: linspace + per-ray scalar perturb).  No vjp — the loop runs
-    under no_grad in the reference, so every input is detached here
-    (rays carry pose tangents inside the train step and jvp tracing
-    needs a rule at the pallas_call itself)."""
-    cfg_key = _cfg_key(cfg)
-    ws, bs = _materialize(params, dict(cfg_key))
-    k = n_importance // steps
-    sg = jax.lax.stop_gradient
-    return _upsample_rays_impl(
-        sg(ws), sg(bs), sg(rays_o), sg(rays_d), sg(z_vals),
-        cfg_key, z_vals.shape[1], k, steps, float(inv_s_base))
-
-
-def supported_upsample(cfg, n0: int, n_importance: int, steps: int,
-                       n_pts: int = None) -> bool:
-    """Gate for upsample_fused_rays: same fused-train support + the
-    det-mode shape contract (equal draws per round, <= 128 lanes)."""
-    if not supported(cfg) or steps <= 0:
-        return False
-    k = n_importance // steps
-    ok = (k >= 1 and k * steps == n_importance and n0 + n_importance <= 128)
     if n_pts is not None:
         ok = ok and n_pts >= MIN_SAMPLES_RAYS
     return ok

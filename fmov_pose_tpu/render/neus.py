@@ -20,7 +20,6 @@ Numerics match the reference exactly: sigmoid-CDF alpha
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -66,26 +65,6 @@ def _sdf_only_fn(model_cfg):
     return lambda params, x: nets.sdf_only(params, sdf_cfg, x)
 
 
-def _sdf_bn(params, model_cfg, rays_o, rays_d, z_vals):
-    """sdf [B, N] at o + d*z for the gradient-free upsample loop.
-
-    Uses the per-ray fused kernel when eligible (pts built in-kernel —
-    the flat [M, 3] pts and [M, 1] sdf column both lane-pad 42x/128x on
-    TPU), else the flat path through _sdf_only_fn."""
-    sdf_cfg = model_cfg["sdf"]
-    if ((sdf_cfg.get("use_fused", False)
-         or sdf_cfg.get("use_fused_train", False))
-            and os.environ.get("FMOV_FUSED_UPSAMPLE", "1") == "1"):
-        from fmov_pose_tpu.ops import fused_sdf
-        if fused_sdf.supported_rays(sdf_cfg, z_vals.shape[1], z_vals.size):
-            return fused_sdf.sdf_only_fused_rays(
-                params["sdf"], sdf_cfg, rays_o, rays_d, z_vals)
-    batch_size, n = z_vals.shape
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
-    sdf = _sdf_only_fn(model_cfg)(params["sdf"], pts.reshape(-1, 3))
-    return sdf.reshape(batch_size, n)
-
-
 def _transmittance_weights(alpha: jnp.ndarray) -> jnp.ndarray:
     """weights = alpha * cumprod([1, 1-alpha+1e-7])[:, :-1] (`renderer.py:337-342`)."""
     ones = jnp.ones_like(alpha[..., :1])
@@ -129,9 +108,13 @@ def cat_z_vals(params, model_cfg, rays_o, rays_d, z_vals, new_z_vals, sdf, last:
 
     Both inputs are per-ray ascending (sample_pdf draws from a monotone
     CDF), so the argsort becomes a gather-free two-list merge."""
+    batch_size, n_samples = z_vals.shape
+    _, n_importance = new_z_vals.shape
     if last:
         return merge_sorted(z_vals, new_z_vals), sdf
-    new_sdf = _sdf_bn(params, model_cfg, rays_o, rays_d, new_z_vals)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
+    new_sdf = _sdf_only_fn(model_cfg)(params["sdf"], pts.reshape(-1, 3))
+    new_sdf = new_sdf.reshape(batch_size, n_importance)
     return merge_sorted(z_vals, new_z_vals, sdf, new_sdf)
 
 
@@ -181,26 +164,19 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         use_fused_train = fused_sdf.supported(sdf_cfg)
 
     sdf_bn_direct = None
-    g3 = None   # gradient channel-planes [3, B, N] (rays fused path)
     if use_fused_train:
         # fully-fused Pallas path: fwd+grad in one kernel, and a fused
         # second-order backward (custom_vjp) — O(batch) memory, ~15%
         # faster than the remat'ed XLA path on v5e
         from fmov_pose_tpu.ops import fused_sdf
         if fused_sdf.supported_rays(sdf_cfg, n_samples, pts.shape[0]):
-            # rays variant (round 3): pts built IN-KERNEL from per-ray
-            # o/d/z, PE + its derivative chains fused, the sdf scalar
-            # comes out [B, N] directly, the feature leaves lane-ALIGNED
-            # [M, 256] (bf16 by default — the color kernel's first
-            # matmul casts to bf16 anyway) and the gradient leaves as
-            # fully lane-packed planes g3 [3, B, N].  The [M, 3] pts,
-            # [M, 39] xe, [M, 257] cotangent and [M, 3] grad arrays all
-            # store 42x lane-padded in HBM — none of them cross anymore.
-            feat_direct, sdf_bn_direct, g3 = \
+            # rays variant (round 3): PE + its derivative chains live
+            # in-kernel and the sdf scalar comes out [B, N] directly, so
+            # the [M,39] xe/pe-vjp passes and the [M,257] cotangent
+            # assembly never touch HBM (~30 ms/step at 1M samples)
+            sdf_nn, sdf_bn_direct, gradients = \
                 fused_sdf.sdf_apply_grad_fused_rays(
-                    params["sdf"], sdf_cfg, rays_o, rays_d, mid_z_vals)
-            sdf_nn = None
-            gradients = None
+                    params["sdf"], sdf_cfg, pts, n_samples)
         else:
             sdf_nn, gradients = fused_sdf.sdf_apply_grad_fused(
                 params["sdf"], sdf_cfg, pts)
@@ -218,15 +194,11 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         sdf_nn, gradients = jax.checkpoint(_sdf_block)(params["sdf"], pts)
     if sdf_bn_direct is not None:
         sdf = sdf_bn_direct.reshape(-1, 1)
-        feature = feat_direct
     else:
         sdf = sdf_nn[:, :1]
-        feature = sdf_nn[:, 1:]
+    feature = sdf_nn[:, 1:]
     if eval_mode:
-        if g3 is not None:
-            g3 = jax.lax.stop_gradient(g3)
-        else:
-            gradients = jax.lax.stop_gradient(gradients)
+        gradients = jax.lax.stop_gradient(gradients)
 
     color_cfg = model_cfg["color"]
     use_fused_color = False
@@ -242,16 +214,11 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         # (glue_probe.py: ~22 ms at 1M samples) never touch HBM.
         # Incompatible with NeRF++ background mixing (needs per-sample
         # colors) — falls back to the featfirst path there.
+        import os
         use_fused_color_ray = (
             use_fused_color and background_alpha is None
             and fused_color.supported_ray(color_cfg, n_samples)
             and os.environ.get("FMOV_FUSED_COLOR_RAY", "1") == "1")
-
-    if g3 is not None and not use_fused_color_ray:
-        # rays SDF path but per-sample colors needed (NeRF++ background):
-        # reconstruct the flat [M, 3] gradients once — same cost the old
-        # grad output paid unconditionally
-        gradients = jnp.moveaxis(g3, 0, -1).reshape(-1, 3)
 
     if use_fused_color_ray:
         sampled_color = None  # composited in-kernel after weights
@@ -282,15 +249,7 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     # per materialized op on TPU. Elementwise only — bitwise identical.
     sdf_bn = (sdf_bn_direct if sdf_bn_direct is not None
               else sdf.reshape(batch_size, n_samples))
-    if g3 is not None and use_fused_color_ray:
-        # planes form: dirs are constant per ray, so true_cos is three
-        # [B, N] multiply-adds on fully packed arrays (the [M, 3] form
-        # streams 42x-padded)
-        true_cos = (g3[0] * rays_d[:, 0:1] + g3[1] * rays_d[:, 1:2]
-                    + g3[2] * rays_d[:, 2:3])
-    else:
-        true_cos = (dirs * gradients).sum(-1).reshape(
-            batch_size, n_samples)
+    true_cos = (dirs * gradients).sum(-1).reshape(batch_size, n_samples)
     # anneal keeps cos "alive" early in training (`renderer.py:297-302`)
     iter_cos = -(
         jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
@@ -330,22 +289,18 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     weights_sum = weights.sum(axis=-1, keepdims=True)
     if use_fused_color_ray:
         from fmov_pose_tpu.ops import fused_color
+        u = jnp.concatenate([pts, dirs, gradients], axis=-1)
         color = fused_color.color_fused_ray(
-            params["color"], color_cfg, feature, rays_o, rays_d,
-            mid_z_vals, g3, weights)
+            params["color"], color_cfg, sdf_nn, u, weights)
     else:
         color = (sampled_color * weights[..., None]).sum(axis=1)
     if background_rgb is not None:
         color = color + background_rgb * (1.0 - weights_sum)
 
-    if g3 is not None and use_fused_color_ray:
-        grad_norm = jnp.sqrt(g3[0] * g3[0] + g3[1] * g3[1]
-                             + g3[2] * g3[2])
-    else:
-        # sqrt-of-sum-of-squares on [N, 3] then reshape — avoids a
-        # [B, N, 3] norm whose 3-wide minor dim pads 42x
-        grad_norm = jnp.sqrt((gradients * gradients).sum(-1)).reshape(
-            batch_size, n_samples)
+    # sqrt-of-sum-of-squares on [N, 3] then reshape — avoids a
+    # [B, N, 3] norm whose 3-wide minor dim pads 42x
+    grad_norm = jnp.sqrt((gradients * gradients).sum(-1)).reshape(
+        batch_size, n_samples)
     gradient_error_raw = (grad_norm - 1.0) ** 2
     eik_num = (relax_inside_sphere * gradient_error_raw).sum()
     eik_den = relax_inside_sphere.sum()
@@ -359,9 +314,7 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         "color": color,
         "sdf": sdf,
         "dists": dists,
-        "gradients": (jnp.moveaxis(g3, 0, -1)
-                      if g3 is not None and use_fused_color_ray
-                      else gradients.reshape(batch_size, n_samples, 3)),
+        "gradients": gradients.reshape(batch_size, n_samples, 3),
         "s_val": 1.0 / inv_s,
         "mid_z_vals": mid_z_vals,
         "weights": weights,
@@ -419,42 +372,20 @@ def render(key, params, model_cfg, rays_o, rays_d, near, far,
         n_samples_total = cfg.n_samples + cfg.n_importance
     elif cfg.n_importance > 0:
         # SDF-guided upsampling is gradient-free (`renderer.py:424` no_grad)
-        sdf_cfg = model_cfg["sdf"]
-        use_full_kernel = False
-        if ((sdf_cfg.get("use_fused", False)
-             or sdf_cfg.get("use_fused_train", False))
-                and os.environ.get("FMOV_FUSED_UPSAMPLE_FULL", "0") == "1"):
-            from fmov_pose_tpu.ops import fused_sdf
-            use_full_kernel = fused_sdf.supported_upsample(
-                sdf_cfg, cfg.n_samples, cfg.n_importance,
-                cfg.up_sample_steps,
-                batch_size * (cfg.n_samples + cfg.n_importance))
+        def _upsample(z_vals):
+            pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
+            sdf = _sdf_only_fn(model_cfg)(params["sdf"], pts.reshape(-1, 3))
+            sdf = sdf.reshape(batch_size, cfg.n_samples)
+            for i in range(cfg.up_sample_steps):
+                new_z = up_sample(
+                    params, model_cfg, rays_o, rays_d, z_vals, sdf,
+                    cfg.n_importance // cfg.up_sample_steps, 64.0 * 2**i)
+                z_vals, sdf = cat_z_vals(
+                    params, model_cfg, rays_o, rays_d, z_vals, new_z, sdf,
+                    last=(i + 1 == cfg.up_sample_steps))
+            return z_vals
 
-        if use_full_kernel:
-            # whole loop (evals + section alphas + inverse-CDF draws +
-            # sorted merges) in ONE forward-only pallas kernel — the XLA
-            # loop pays 4 variadic sorts + 4 compare-all sample_pdf
-            # passes + 5 boundary crossings per step (ops/fused_sdf.py
-            # upsample_fused_rays)
-            from fmov_pose_tpu.ops import fused_sdf
-            z_vals = jax.lax.stop_gradient(fused_sdf.upsample_fused_rays(
-                params["sdf"], sdf_cfg, rays_o, rays_d,
-                jax.lax.stop_gradient(z_vals), cfg.n_importance,
-                cfg.up_sample_steps))
-        else:
-            def _upsample(z_vals):
-                sdf = _sdf_bn(params, model_cfg, rays_o, rays_d, z_vals)
-                for i in range(cfg.up_sample_steps):
-                    new_z = up_sample(
-                        params, model_cfg, rays_o, rays_d, z_vals, sdf,
-                        cfg.n_importance // cfg.up_sample_steps, 64.0 * 2**i)
-                    z_vals, sdf = cat_z_vals(
-                        params, model_cfg, rays_o, rays_d, z_vals, new_z,
-                        sdf, last=(i + 1 == cfg.up_sample_steps))
-                return z_vals
-
-            z_vals = jax.lax.stop_gradient(
-                _upsample(jax.lax.stop_gradient(z_vals)))
+        z_vals = jax.lax.stop_gradient(_upsample(jax.lax.stop_gradient(z_vals)))
         n_samples_total = cfg.n_samples + cfg.n_importance
 
     if cfg.n_outside > 0:

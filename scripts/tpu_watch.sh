@@ -42,11 +42,8 @@ done
 state "tunnel LIVE — running queue"
 
 run validate_rays_r3 1800 python scripts/validate_rays_tpu.py
-run validate_upsample_r3 1800 python scripts/validate_upsample_tpu.py
 run bench_r3_planes 2400 python bench.py
-FMOV_FUSED_UPSAMPLE_FULL=1 run bench_r3_upfull 2400 python bench.py
 run p2probe_r3 1800 python scripts/phase2_probe.py
-FMOV_FUSED_UPSAMPLE_FULL=1 run p2probe_r3_upfull 1800 python scripts/phase2_probe.py
 
 touch /tmp/tpu_queue_done
 state "queue complete"

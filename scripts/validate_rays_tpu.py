@@ -1,12 +1,9 @@
-"""Validate the rays-variant fused path (aligned bf16 feature crossing)
-against the plain XLA render on the real chip.
+"""Validate the rays-variant fused path against the plain XLA render on
+the real chip.
 
 Covers what tests/test_fused_ray.py cannot: production widths + REAL
-Mosaic lowering (not interpret) + the bf16 featbar rounding, which is
-the only numerical delta the aligned-feature refactor introduces (the
-forward is bit-identical: the color kernel cast its matmul operand to
-bf16 already).  Gate: every param-gradient within 1% relative L2, same
-as scripts/validate_kernels_tpu.py.
+Mosaic lowering (not interpret).  Gate: every param-gradient within 1%
+relative L2, same as scripts/validate_kernels_tpu.py.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/validate_rays_tpu.py
 """
@@ -18,31 +15,9 @@ import __graft_entry__ as ge
 from fmov_pose_tpu.render import neus
 
 
-def check_sdf_only_rays(params, sdf_cfg):
-    """Forward-only rays kernel (upsample loop, `renderer.py:168-242`
-    no-grad path) vs the flat fused oracle at production widths on real
-    Mosaic lowering; only delta is the shared bf16 sdf-column matmul."""
-    from fmov_pose_tpu.ops import fused_sdf
-    rng = np.random.default_rng(7)
-    B, N = 2048, 64
-    o = jnp.asarray(rng.normal(size=(B, 3)) * 0.4, jnp.float32)
-    d = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    z = jnp.asarray(np.sort(rng.random((B, N)) * 2.0, -1), jnp.float32)
-    assert fused_sdf.supported_rays(sdf_cfg, N, B * N)
-    got = fused_sdf.sdf_only_fused_rays(params["sdf"], sdf_cfg, o, d, z)
-    pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
-    want = fused_sdf.sdf_only_fused(params["sdf"], sdf_cfg, pts)
-    want = want.reshape(B, N)
-    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
-    print(f"sdf_only_rays vs flat fused: rel={rel:.3e}")
-    assert rel < 2e-3, rel
-
-
 def main():
     params = ge._field_params(jax.random.key(0))
     base_cfg = ge._model_cfg(n_samples=64, n_importance=64)
-    check_sdf_only_rays(params, base_cfg["sdf"])
     rng = np.random.default_rng(2)
     B = 1024
     o = rng.normal(size=(B, 3))

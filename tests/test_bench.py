@@ -60,22 +60,3 @@ def test_build_phase2_gf_scan_fused_interpret(monkeypatch):
     new_state, metrics = scan(state, n_img)
     jax.block_until_ready(metrics["loss"])
     assert np.isfinite(float(metrics["loss"]))
-
-
-def test_build_phase2_gf_scan_fused_upsample_full_interpret(monkeypatch):
-    """Same as above with the whole-upsample-loop kernel gate flipped on
-    (FMOV_FUSED_UPSAMPLE_FULL) — the other fused phase-2 configuration
-    bench measures."""
-    import numpy as np
-
-    from fmov_pose_tpu.ops import fused_color, fused_sdf
-
-    monkeypatch.setenv("FMOV_PALLAS_INTERPRET", "1")
-    monkeypatch.setenv("FMOV_FUSED_UPSAMPLE_FULL", "1")
-    monkeypatch.setattr(fused_sdf, "MIN_SAMPLES_RAYS", 0)
-    monkeypatch.setattr(fused_color, "MIN_SAMPLES", 0)
-
-    scan, state, n_img, k = bench.build_phase2_gf(8, k_steps=1)
-    new_state, metrics = scan(state, n_img)
-    jax.block_until_ready(metrics["loss"])
-    assert np.isfinite(float(metrics["loss"]))

@@ -16,6 +16,10 @@ import jax.numpy as jnp
 
 @pytest.fixture()
 def fc(monkeypatch):
+    # the fused ops are module-level @jax.jit functions that capture _dot
+    # at trace time: traces created by earlier test modules (default bf16
+    # dots) must not be reused after the HIGHEST-precision patches below
+    jax.clear_caches()
     monkeypatch.setenv("FMOV_PALLAS_INTERPRET", "1")
     from fmov_pose_tpu.ops import fused_color
     monkeypatch.setattr(fused_color, "TILE", 16)
@@ -58,39 +62,36 @@ def test_ray_op_matches_oracle(fc, weight_norm):
     B, N = 6, 8           # M=48 -> pads to 3 tiles of 16 + row padding
     M = B * N
     params = _params(rng, d_feat + d_small, 24, n_layers + 1, weight_norm)
-    feat = jnp.asarray(rng.normal(size=(M, d_feat)), jnp.float32)
-    o = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
-    d = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
-    z = jnp.asarray(rng.random((B, N)) * 2.0, jnp.float32)
-    g3 = jnp.asarray(rng.normal(size=(3, B, N)), jnp.float32)
+    sdf_out = jnp.asarray(rng.normal(size=(M, 1 + d_feat)), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(M, 9)), jnp.float32)
     weights = jnp.asarray(rng.random((B, N)), jnp.float32)
-    args = (feat, o, d, z, g3, weights)
 
     assert fc.supported_ray(cfg, N)
-    got = fc.color_fused_ray(params, cfg, *args)
-    want = fc.ray_reference(params, cfg, *args)
+    got = fc.color_fused_ray(params, cfg, sdf_out, u, weights)
+    want = fc.ray_reference(params, cfg, sdf_out, u, weights)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
-    def loss_k(p, *a):
-        out = fc.color_fused_ray(p, cfg, *a)
+    def loss_k(p, s, uu, w):
+        out = fc.color_fused_ray(p, cfg, s, uu, w)
         return (out * jnp.arange(out.size).reshape(out.shape)).sum()
 
-    def loss_r(p, *a):
-        out = fc.ray_reference(p, cfg, *a)
+    def loss_r(p, s, uu, w):
+        out = fc.ray_reference(p, cfg, s, uu, w)
         return (out * jnp.arange(out.size).reshape(out.shape)).sum()
 
-    nums = tuple(range(7))
-    gk = jax.grad(loss_k, argnums=nums)(params, *args)
-    gr = jax.grad(loss_r, argnums=nums)(params, *args)
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(params, sdf_out, u, weights)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(params, sdf_out, u, weights)
 
-    # params (incl. weight-norm v/g), then every tensor cotangent
-    # (feat, o, d, z, g3, weights)
+    # params (incl. weight-norm v/g), feature, u, weights cotangents
     flat_k, _ = jax.tree_util.tree_flatten(gk[0])
     flat_r, _ = jax.tree_util.tree_flatten(gr[0])
     for a, b in zip(flat_k, flat_r):
         np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
-    for i in range(1, 7):
-        np.testing.assert_allclose(gk[i], gr[i], atol=1e-4, rtol=1e-4)
+    # sdf_out col 0 gets no cotangent from the color op
+    np.testing.assert_allclose(gk[1][:, 0], 0.0, atol=0)
+    np.testing.assert_allclose(gk[1], gr[1], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(gk[2], gr[2], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(gk[3], gr[3], atol=1e-4, rtol=1e-4)
 
 
 def test_render_core_ray_path_matches_xla(fc, monkeypatch):
@@ -104,9 +105,6 @@ def test_render_core_ray_path_matches_xla(fc, monkeypatch):
     monkeypatch.setattr(fc, "MIN_SAMPLES", 0)
     monkeypatch.setattr(fused_sdf, "TILE", 32)
     monkeypatch.setattr(fused_sdf, "MIN_SAMPLES_RAYS", 0)
-    # keep the feature crossing f32 for the structural comparison (the
-    # bf16 default is validated at production widths on chip)
-    monkeypatch.setattr(fused_sdf, "FEAT_DTYPE", jnp.float32)
     hp = jax.lax.Precision.HIGHEST
     monkeypatch.setattr(fused_sdf, "_dot",
                         lambda a, b: jnp.dot(a, b, precision=hp))
@@ -149,36 +147,6 @@ def test_render_core_ray_path_matches_xla(fc, monkeypatch):
         assert np.linalg.norm(a - b) <= 5e-3 * max(bn, 1e-3), (a.shape, an, bn)
 
 
-def test_sdf_only_rays_matches_flat(monkeypatch):
-    """Forward-only rays SDF kernel (the upsample-loop path) vs the
-    unfused flat oracle: primal values at production net widths,
-    including the ray-padding path (B not a multiple of rays/tile)."""
-    monkeypatch.setenv("FMOV_PALLAS_INTERPRET", "1")
-    import __graft_entry__ as ge
-    from fmov_pose_tpu.fields import nets
-    from fmov_pose_tpu.ops import fused_sdf
-
-    monkeypatch.setattr(fused_sdf, "TILE", 32)
-    hp = jax.lax.Precision.HIGHEST
-    monkeypatch.setattr(fused_sdf, "_dot",
-                        lambda a, b: jnp.dot(a, b, precision=hp))
-
-    sdf_cfg = ge.SDF_CFG
-    params = nets.init_sdf(jax.random.key(3), sdf_cfg)
-    rng = np.random.default_rng(5)
-    for B, N in ((6, 16), (4, 8)):   # 16 | 32 exact tiles; 8 -> padding
-        o = jnp.asarray(rng.normal(size=(B, 3)) * 0.4, jnp.float32)
-        d = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
-        z = jnp.asarray(np.sort(rng.random((B, N)) * 2.0, -1), jnp.float32)
-        assert fused_sdf.supported_rays(sdf_cfg, N)
-        got = fused_sdf.sdf_only_fused_rays(params, sdf_cfg, o, d, z)
-        pts = (o[:, None, :] + d[:, None, :] * z[..., None]).reshape(-1, 3)
-        want = nets.sdf_only(params, sdf_cfg, pts).reshape(B, N)
-        # the sdf column contraction is bf16 in-kernel (as in the
-        # fwd+grad rays kernel); a layout/indexing bug would be O(1)
-        np.testing.assert_allclose(got, want, atol=1e-3, rtol=5e-3)
-
-
 def test_ray_op_unpadded_single_tile(fc):
     rng = np.random.default_rng(1)
     d_feat, L, n_layers = 8, 1, 1
@@ -187,12 +155,9 @@ def test_ray_op_unpadded_single_tile(fc):
     B, N = 2, 8           # M=16 == TILE exactly (no padding)
     M = B * N
     params = _params(rng, d_feat + 9 + 6 * L, 16, n_layers + 1, True)
-    feat = jnp.asarray(rng.normal(size=(M, d_feat)), jnp.float32)
-    o = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
-    d = jnp.asarray(rng.normal(size=(B, 3)), jnp.float32)
-    z = jnp.asarray(rng.random((B, N)) * 2.0, jnp.float32)
-    g3 = jnp.asarray(rng.normal(size=(3, B, N)), jnp.float32)
+    sdf_out = jnp.asarray(rng.normal(size=(M, 1 + d_feat)), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(M, 9)), jnp.float32)
     weights = jnp.asarray(rng.random((B, N)), jnp.float32)
-    got = fc.color_fused_ray(params, cfg, feat, o, d, z, g3, weights)
-    want = fc.ray_reference(params, cfg, feat, o, d, z, g3, weights)
+    got = fc.color_fused_ray(params, cfg, sdf_out, u, weights)
+    want = fc.ray_reference(params, cfg, sdf_out, u, weights)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
