@@ -403,9 +403,11 @@ def _apply_updates(cfg: StepConfig, state: TrainState, grads_params,
 # ---------------------------------------------------------------------------
 
 
-def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table,
+def make_photo_loss(cfg: StepConfig, images, masks, intr_inv_all, bbox_table,
                     depths=None):
-    """Photometric step. Dynamic args: img_id, add_img_id, scalars."""
+    """The photometric loss closure used by make_photo_step — exposed
+    separately so perf probes (scripts/phase2_probe.py) can time
+    value_and_grad(loss) in isolation from the optimizer."""
 
     def loss_fn(params, bank_train, state: TrainState, key, img_id,
                 add_img_id, scalars):
@@ -429,6 +431,15 @@ def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table,
             data = jnp.concatenate([data, add], axis=0)
         return _render_and_losses(cfg, k3, params, bank, state.pose_static,
                                   data, scalars)
+
+    return loss_fn
+
+
+def make_photo_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table,
+                    depths=None):
+    """Photometric step. Dynamic args: img_id, add_img_id, scalars."""
+    loss_fn = make_photo_loss(cfg, images, masks, intr_inv_all, bbox_table,
+                              depths=depths)
 
     def run_one(state: TrainState, scalars: StepScalars, img_id, add_img_id):
         key, sub = jax.random.split(state.key)

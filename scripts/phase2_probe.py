@@ -100,6 +100,48 @@ def main():
     t = timeit(raygen_only, state, jax.random.key(3))
     print(f"raygen (2x gen_random_rays) fwd: {t*1e3:8.2f} ms")
 
+    # --- glue decomposition, part 2: where does step - render go? ------
+    loss_fn = step_mod.make_photo_loss(cfg, images, masks, intr_inv_all,
+                                       bbox_table)
+    bank_train = state.pose_bank["train"]
+
+    vg_full = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                         has_aux=True))
+    t = timeit(vg_full, state.params, bank_train, state, jax.random.key(4),
+               img_id, add_img_id, scalars)
+    print(f"value_and_grad(loss) full:       {t*1e3:8.2f} ms")
+
+    vg_params = jax.jit(jax.value_and_grad(loss_fn, argnums=0, has_aux=True))
+    t = timeit(vg_params, state.params, bank_train, state, jax.random.key(4),
+               img_id, add_img_id, scalars)
+    print(f"value_and_grad(loss) params-only:{t*1e3:8.2f} ms")
+
+    fwd_loss = jax.jit(loss_fn)
+    t = timeit(fwd_loss, state.params, bank_train, state, jax.random.key(4),
+               img_id, add_img_id, scalars)
+    print(f"loss fwd only:                   {t*1e3:8.2f} ms")
+
+    # fixed-data variant: rays precomputed outside the grad — removes the
+    # pose->raygen forward AND the loss->rays->pose backward entirely
+    data_fixed = jax.jit(lambda st, key: jnp.concatenate([
+        raygen.gen_random_rays(
+            key, images, masks, intr_inv_all,
+            step_mod.pose_of_frame(cfg, st.params, st.pose_bank,
+                                   st.pose_static, img_id),
+            img_id, cfg.batch_size, bbox_table, cfg.mask_guided_patch_size,
+            cfg.mask_guided_sampling, cfg.H, cfg.W,
+            mask_guided_active=scalars.mask_guided)] * 2, axis=0))(
+        state, jax.random.key(5))
+
+    def loss_fixed_rays(params):
+        total, _ = step_mod._render_and_losses(
+            cfg, jax.random.key(6), params, state.pose_bank,
+            state.pose_static, data_fixed, scalars)
+        return total
+
+    t = timeit(jax.jit(jax.grad(loss_fixed_rays)), state.params)
+    print(f"grad(render+losses) fixed rays:  {t*1e3:8.2f} ms")
+
     model_cfg = ge._model_cfg(n_samples=64, n_importance=64)
     model_cfg = dict(model_cfg)
     for net in ("sdf", "color", "nerf"):
