@@ -376,9 +376,12 @@ def _make_ray_fwd_kernel(n_lin, n_samples, d_feat):
         bs = [refs[6 + n_lin + i][:] for i in range(n_lin)]
         out_ref = refs[6 + 2 * n_lin]
         feat = sdf_ref[:, 1:1 + d_feat]
-        # selection matmul is exact one-hot picks; value operand must stay
-        # f32 (in-kernel jnp.dot defaults to bf16 -> 1e-3 PE drift)
-        r = jnp.dot(u_ref[:], g_ref[:], precision=hp)
+        # u arrives as (9, T) channel planes ([M, 9] pads 9 -> 128 lanes
+        # in HBM); the selection matmul is exact one-hot picks read
+        # through a transposed-lhs dot_general.  Value operand must stay
+        # f32 (in-kernel jnp.dot defaults to bf16 -> 1e-3 PE drift).
+        r = jax.lax.dot_general(u_ref[:], g_ref[:],
+                                (((0,), (0,)), ((), ())), precision=hp)
         rf = r * f_ref[:]
         kind = k_ref[:]
         small = jnp.where(kind == 0.0, r,
@@ -417,7 +420,9 @@ def _make_ray_bwd_kernel(n_lin, n_samples, d_feat):
                 dbs[l][:] = jnp.zeros_like(dbs[l])
 
         feat = sdf_ref[:, 1:1 + d_feat]
-        r = jnp.dot(u_ref[:], g_ref[:], precision=hp)
+        # u as (9, T) planes, as in the forward kernel
+        r = jax.lax.dot_general(u_ref[:], g_ref[:],
+                                (((0,), (0,)), ((), ())), precision=hp)
         rf = r * f_ref[:]
         kind = k_ref[:]
         small = jnp.where(kind == 0.0, r,
@@ -451,7 +456,10 @@ def _make_ray_bwd_kernel(n_lin, n_samples, d_feat):
         dsel = jnp.where(kind == 0.0, jnp.ones_like(rf),
                          jnp.where(kind == 1.0, jnp.cos(rf) * f_ref[:],
                                    -jnp.sin(rf) * f_ref[:]))
-        ubar_ref[:] = jnp.dot(smallbar * dsel, g_ref[:].T, precision=hp)
+        # ubar written as (9, T) planes: operand-swapped (sb*dsel) @ G^T
+        ubar_ref[:] = jax.lax.dot_general(
+            g_ref[:], smallbar * dsel, (((1,), (1,)), ((), ())),
+            precision=hp)
 
     return kernel
 
@@ -474,6 +482,15 @@ def _pad_rows(x, rows):
     return x
 
 
+def _pad_cols(x, cols):
+    """Pad a channel-plane [C, M] array along M."""
+    pad = cols - x.shape[1]
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], pad), x.dtype)], 1)
+    return x
+
+
 @partial(jax.jit, static_argnames=("ck",))
 def _ray_fwd_impl(ws, bs, sdf_out, u, weights, ck):
     cfg = dict(ck)
@@ -486,7 +503,7 @@ def _ray_fwd_impl(ws, bs, sdf_out, u, weights, ck):
     B_pad = M_pad // N
     rays_per_tile = TILE // N
     sdf_p = _pad_rows(sdf_out, M_pad)
-    u_p = _pad_rows(u, M_pad)
+    u_p = _pad_cols(u, M_pad)                 # u: [9, M] channel planes
     w_p = _pad_rows(weights, B_pad)
     G, f, kind = (jnp.asarray(t)
                   for t in _ff_tables_np(cfg["multires_view"],
@@ -495,7 +512,7 @@ def _ray_fwd_impl(ws, bs, sdf_out, u, weights, ck):
     tile_specs = [
         pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -525,7 +542,7 @@ def _ray_bwd_impl(ws, bs, sdf_out, u, weights, ct, ck):
     B_pad = M_pad // N
     rays_per_tile = TILE // N
     sdf_p = _pad_rows(sdf_out, M_pad)
-    u_p = _pad_rows(u, M_pad)
+    u_p = _pad_cols(u, M_pad)                 # u: [9, M] channel planes
     w_p = _pad_rows(weights, B_pad)
     ct_p = _pad_rows(ct, B_pad)
     G, f, kind = (jnp.asarray(t)
@@ -536,7 +553,7 @@ def _ray_bwd_impl(ws, bs, sdf_out, u, weights, ct, ck):
     in_specs = [
         pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((rays_per_tile, 3), lambda i: (i, 0),
@@ -545,13 +562,13 @@ def _ray_bwd_impl(ws, bs, sdf_out, u, weights, ct, ck):
     out_specs = (
         [pl.BlockSpec((TILE, d_sdf), lambda i: (i, 0),
                       memory_space=pltpu.VMEM),
-         pl.BlockSpec((TILE, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+         pl.BlockSpec((9, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
          pl.BlockSpec((rays_per_tile, N), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)]
         + _w_specs(ws) + _w_specs(bs))
     out_shapes = (
         [jax.ShapeDtypeStruct((M_pad, d_sdf), jnp.float32),
-         jax.ShapeDtypeStruct((M_pad, 9), jnp.float32),
+         jax.ShapeDtypeStruct((9, M_pad), jnp.float32),
          jax.ShapeDtypeStruct((B_pad, N), jnp.float32)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
@@ -565,7 +582,7 @@ def _ray_bwd_impl(ws, bs, sdf_out, u, weights, ct, ck):
         interpret=_interpret(),
     )(sdf_p, u_p, w_p, ct_p, G, f, kind, *ws, *bs, *wts)
     featbar = outs[0][:M]
-    ubar = outs[1][:M]
+    ubar = outs[1][:, :M]
     dwgt = outs[2][:B]
     dws = list(outs[3:3 + n_lin])
     dbs = [b[0] for b in outs[3 + n_lin:]]
@@ -574,10 +591,10 @@ def _ray_bwd_impl(ws, bs, sdf_out, u, weights, ct, ck):
 
 def ray_reference(params, cfg, sdf_out, u, weights):
     """Pure-JAX oracle with identical math (feature-first concat,
-    selection-matmul PE tail, per-ray composite)."""
+    selection-matmul PE tail, per-ray composite).  u is [9, M] planes."""
     feat = sdf_out[:, 1:]
     small_in = assemble_featfirst(
-        cfg, u[:, 0:3], u[:, 3:6], u[:, 6:9], feat)
+        cfg, u[0:3].T, u[3:6].T, u[6:9].T, feat)
     p2 = permute_params_featfirst(params, cfg)
     c = apply_from_concat(p2, cfg, small_in)
     B, N = weights.shape
@@ -618,9 +635,11 @@ _ray_op.defvjp(_ray_fwd, _ray_bwd)
 
 def color_fused_ray(params, cfg, sdf_out, u, weights):
     """Composited fused color: sdf_out [M, 1+d_feat] (raw fused-SDF
-    output), u [M, 9] = [pts|dirs|normals], weights [B, N] (M = B*N).
-    Returns color [B, 3].  Gradients flow to params, sdf_out (feature
-    columns), u, and weights."""
+    output), u [9, M] CHANNEL PLANES = [pts|dirs|normals] rows, weights
+    [B, N] (M = B*N).  The planes layout keeps the 9-wide geometry out
+    of 128-lane padded HBM tiles (~14x traffic).  Returns color [B, 3].
+    Gradients flow to params, sdf_out (feature columns), u, and
+    weights."""
     B, N = weights.shape
     ck = _ray_cfg_key(cfg, N, sdf_out.shape[1])
     return _ray_op(params, ck, sdf_out, u, weights)

@@ -256,15 +256,33 @@ class _PETile:
     sin/cos pair must be computed ONCE and shared by the encoding, the
     Jacobian diagonal and the second-derivative diagonal."""
 
-    def __init__(self, xs_s, g_ref, f_ref, k_ref):
+    def __init__(self, xs_s, g_ref, f_ref, k_ref, _R=None):
         hp = jax.lax.Precision.HIGHEST
         self.f = f_ref[:]
         self.kind = k_ref[:]
         self.G = g_ref[:]
-        self.R = jnp.dot(xs_s, self.G, precision=hp)
+        if _R is None:
+            self.R = jnp.dot(xs_s, self.G, precision=hp)
+        else:
+            self.R = _R
         Rf = self.R * self.f
         self.sin = jnp.sin(Rf)
         self.cos = jnp.cos(Rf)
+
+    @classmethod
+    def from_planes(cls, x_pl, scale, g_ref, f_ref, k_ref):
+        """Build from a (3, T) channel-plane block (the [M, 3] HBM layout
+        pads 3 -> 128 lanes = 42x traffic; planes tile cleanly).
+
+        R = (x^T G) * scale via a transposed-lhs dot_general.  G's columns
+        are one-hot, so each R entry is one product — the selection and
+        the post-scale are exact, bitwise equal to the (x*scale) @ G
+        row-form."""
+        hp = jax.lax.Precision.HIGHEST
+        R = jax.lax.dot_general(
+            x_pl, g_ref[:], (((0,), (0,)), ((), ())),
+            precision=hp) * scale
+        return cls(None, g_ref, f_ref, k_ref, _R=R)
 
     def xe(self):
         return jnp.where(self.kind == 0, self.R,
@@ -367,6 +385,15 @@ def _pad_to_tile(x):
     pad = (-n) % TILE
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], 0)
+    return x, n
+
+
+def _pad_cols_to_tile(x):
+    """Pad a channel-plane [C, M] array along M to a TILE multiple."""
+    n = x.shape[1]
+    pad = (-n) % TILE
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((x.shape[0], pad), x.dtype)], 1)
     return x, n
 
 
@@ -677,8 +704,9 @@ def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples):
         grad_ref = refs[6 + 3 * n_lin]
 
         scale = cfg.get("scale", 1.0)
-        xs_s = xs_ref[:] * scale
-        pe = _PETile(xs_s, g_ref, f_ref, k_ref)
+        # xs arrives as (3, T) channel planes; PE reads it through an
+        # exact transposed-lhs selection dot (see _PETile.from_planes)
+        pe = _PETile.from_planes(xs_ref[:], scale, g_ref, f_ref, k_ref)
         xe = pe.xe()
 
         h = xe
@@ -711,8 +739,12 @@ def _make_fwd_grad_rays_kernel(cfg, n_lin, n_samples):
                 d_inputs = d_inputs + delta[:, h_dim:] * inv_sqrt2
                 delta = delta[:, :h_dim] * inv_sqrt2
         d_inputs = d_inputs + delta
-        # scale * (1/scale) on the sdf column cancels: grad is wrt raw x
-        grad_ref[:] = jnp.dot(d_inputs * pe.jac(), g_ref[:].T, precision=hp)
+        # scale * (1/scale) on the sdf column cancels: grad is wrt raw x.
+        # Written as (3, T) planes: same contraction as (dj) @ G^T, with
+        # the result transposed by swapping the dot_general operands.
+        grad_ref[:] = jax.lax.dot_general(
+            g_ref[:], d_inputs * pe.jac(), (((1,), (1,)), ((), ())),
+            precision=hp)
 
     return kernel
 
@@ -740,8 +772,8 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
                 dbs[l][:] = jnp.zeros_like(dbs[l])
 
         scale = cfg.get("scale", 1.0)
-        xs_s = xs_ref[:] * scale
-        pe = _PETile(xs_s, g_ref, f_ref, k_ref)
+        # xs and ct_grad arrive as (3, T) channel planes
+        pe = _PETile.from_planes(xs_ref[:], scale, g_ref, f_ref, k_ref)
         xe = pe.xe()
         jac = pe.jac()
         T = xe.shape[0]
@@ -752,10 +784,12 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
         ct_sdf = jnp.sum(
             jnp.dot(O, ctsdf_ref[:], precision=hp) * Smask,
             axis=1, keepdims=True)
-        ct_grad = ctgrad_ref[:]
         ybar = jnp.concatenate(
             [(ct_out[:, :1] + ct_sdf) / scale, ct_out[:, 1:]], axis=-1)
-        ct_grad_G = jnp.dot(ct_grad, g_ref[:], precision=hp)
+        # (ct_grad^T) @ G with the plane layout: contract the channel dim
+        ct_grad_G = jax.lax.dot_general(
+            ctgrad_ref[:], g_ref[:], (((0,), (0,)), ((), ())),
+            precision=hp)
         gbar = ct_grad_G * jac                      # pe_jvp(xs, ct_grad)
 
         # forward, storing activations and sigmoids
@@ -842,9 +876,11 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
                 zbar = ibar * sigs[l - 1] + (extra if extra is not None
                                              else 0.0)
 
-        # xs cotangent fully in-kernel: pe_vjp(xs, xebar) + second term
-        xsbar = jnp.dot(xebar * jac + ct_grad_G * d_inputs * pe.d2(),
-                        g_ref[:].T, precision=hp)
+        # xs cotangent fully in-kernel: pe_vjp(xs, xebar) + second term,
+        # written as (3, T) planes (operand-swapped dot_general)
+        xsbar = jax.lax.dot_general(
+            g_ref[:], xebar * jac + ct_grad_G * d_inputs * pe.d2(),
+            (((1,), (1,)), ((), ())), precision=hp)
         xsbar_ref[:] = xsbar * scale
 
     return kernel
@@ -855,10 +891,11 @@ def _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples):
     cfg = dict(cfg_key)
     n_lin = len(ws)
     d_out = cfg["d_out"]
-    xs, n = _pad_to_tile(x)
-    grid = xs.shape[0] // TILE
+    xs, n = _pad_cols_to_tile(x)              # x: [3, M] channel planes
+    m_pad = xs.shape[1]
+    grid = m_pad // TILE
     rays_per_tile = TILE // n_samples
-    b_pad = xs.shape[0] // n_samples
+    b_pad = m_pad // n_samples
     (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
     wts = [w.T for w in ws[:-1]]
     w_last_col = ws[-1][:, 0][None, :]
@@ -866,7 +903,7 @@ def _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples):
     out, sdf_bn, grad = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((3, TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM)]
         + table_specs + _weight_specs(ws, bs)
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -878,18 +915,18 @@ def _sdf_fwd_grad_rays_impl(ws, bs, x, cfg_key, n_samples):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+            pl.BlockSpec((3, TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((xs.shape[0], d_out), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, d_out), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, n_samples), jnp.float32),
-            jax.ShapeDtypeStruct((xs.shape[0], 3), jnp.float32),
+            jax.ShapeDtypeStruct((3, m_pad), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(xs, G, f, kind, *ws, *bs, *wts, w_last_col)
-    return out[:n], sdf_bn[:n // n_samples], grad[:n]
+    return out[:n], sdf_bn[:n // n_samples], grad[:, :n]
 
 
 @partial(jax.jit, static_argnames=("cfg_key", "n_samples"))
@@ -898,26 +935,27 @@ def _sdf_bwd_rays_impl(ws, bs, x, ct_out, ct_sdf, ct_grad, cfg_key,
     cfg = dict(cfg_key)
     n_lin = len(ws)
     d_out = cfg["d_out"]
-    xs, n = _pad_to_tile(x)
+    xs, n = _pad_cols_to_tile(x)              # x, ct_grad: [3, M] planes
     ctout_p, _ = _pad_to_tile(ct_out)
-    ctgrad_p, _ = _pad_to_tile(ct_grad)
-    b_pad = xs.shape[0] // n_samples
+    ctgrad_p, _ = _pad_cols_to_tile(ct_grad)
+    m_pad = xs.shape[1]
+    b_pad = m_pad // n_samples
     ct_sdf_p = ct_sdf
     if ct_sdf_p.shape[0] != b_pad:
         ct_sdf_p = jnp.concatenate(
             [ct_sdf_p, jnp.zeros((b_pad - ct_sdf_p.shape[0], n_samples),
                                  ct_sdf_p.dtype)], 0)
-    grid = xs.shape[0] // TILE
+    grid = m_pad // TILE
     rays_per_tile = TILE // n_samples
     (G, f, kind), table_specs = _pe_table_specs(cfg["multires"])
     wts = [w.T for w in ws]
     kernel = _make_bwd_rays_kernel(cfg, n_lin, n_samples)
     out_shapes = (
-        [jax.ShapeDtypeStruct((xs.shape[0], 3), jnp.float32)]
+        [jax.ShapeDtypeStruct((3, m_pad), jnp.float32)]
         + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws]
         + [jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in bs])
     out_specs = (
-        [pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+        [pl.BlockSpec((3, TILE), lambda i: (0, i),
                       memory_space=pltpu.VMEM)]
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
            for w in ws]
@@ -926,13 +964,13 @@ def _sdf_bwd_rays_impl(ws, bs, x, ct_out, ct_sdf, ct_grad, cfg_key,
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((3, TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((TILE, d_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((rays_per_tile, n_samples), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((TILE, 3), lambda i: (i, 0),
+                  pl.BlockSpec((3, TILE), lambda i: (0, i),
                                memory_space=pltpu.VMEM)]
         + table_specs + _weight_specs(ws, bs)
         + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -942,7 +980,7 @@ def _sdf_bwd_rays_impl(ws, bs, x, ct_out, ct_sdf, ct_grad, cfg_key,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(xs, ctout_p, ct_sdf_p, ctgrad_p, G, f, kind, *ws, *bs, *wts)
-    xbar = outs[0][:n]
+    xbar = outs[0][:, :n]
     dws = list(outs[1:1 + n_lin])
     dbs = [b[0] for b in outs[1 + n_lin:]]
     return xbar, dws, dbs
@@ -1095,11 +1133,12 @@ def _sdf_rays_bwd(cfg_key, n_samples, res, cts):
         # XLA reference oracle through the unfused nets
         cfg = dict(cfg_key)
 
-        def ref(p, pts):
+        def ref(p, x_pl):
+            pts = x_pl.T                      # [3, M] planes -> [M, 3]
             out = nets.sdf_apply(p, cfg, pts)
             grad = nets.sdf_gradient(p, cfg, pts)
             sdf_bn = out[:, 0].reshape(-1, n_samples)
-            return out, sdf_bn, grad
+            return out, sdf_bn, grad.T
 
         _, vjp = jax.vjp(ref, params, x)
         return vjp((ct_out, ct_sdf, ct_grad))
@@ -1115,10 +1154,15 @@ _sdf_rays_op.defvjp(_sdf_rays_fwd, _sdf_rays_bwd)
 
 
 def sdf_apply_grad_fused_rays(params, cfg, x, n_samples: int):
-    """(out [M, d_out], sdf_bn [M//n_samples, n_samples], grad [M, 3])
+    """(out [M, d_out], sdf_bn [M//n_samples, n_samples], grad [3, M])
     with PE and every PE-derivative chain fused in-kernel, and the
-    backward taking naturally-shaped split cotangents.  Requires
-    TILE % n_samples == 0 (each tile holds whole rays)."""
+    backward taking naturally-shaped split cotangents.
+
+    `x` is [3, M] CHANNEL PLANES (grad likewise): the [M, 3] layout
+    tiles T(8,128) with the 3-wide minor dim padded to 128 lanes — 42x
+    HBM traffic on every boundary crossing and every XLA glue pass
+    around it (measured 25.5 ms/step at 1M samples, scripts/hlo_dump.py).
+    Requires TILE % n_samples == 0 (each tile holds whole rays)."""
     return _sdf_rays_op(params, _cfg_key(cfg), x, n_samples)
 
 

@@ -153,52 +153,73 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         [z_vals[..., 1:] - z_vals[..., :-1],
          jnp.full((batch_size, 1), sample_dist, z_vals.dtype)], axis=-1)
     mid_z_vals = z_vals + dists * 0.5
-    pts = (rays_o[:, None, :] + rays_d[:, None, :] * mid_z_vals[..., :, None]).reshape(-1, 3)
-    dirs = jnp.broadcast_to(rays_d[:, None, :], (batch_size, n_samples, 3)).reshape(-1, 3)
+    m_total = batch_size * n_samples
 
     sdf_cfg = model_cfg["sdf"]
 
     use_fused_train = False
+    use_rays = False
     if sdf_cfg.get("use_fused_train", False):
         from fmov_pose_tpu.ops import fused_sdf
         use_fused_train = fused_sdf.supported(sdf_cfg)
+        use_rays = use_fused_train and fused_sdf.supported_rays(
+            sdf_cfg, n_samples, m_total)
 
     sdf_bn_direct = None
-    if use_fused_train:
-        # fully-fused Pallas path: fwd+grad in one kernel, and a fused
-        # second-order backward (custom_vjp) — O(batch) memory, ~15%
-        # faster than the remat'ed XLA path on v5e
+    grad_pl = None          # [3, M] channel-plane gradients (rays path)
+    pts = dirs = gradients = pts_pl = None
+    if use_rays:
+        # rays variant (round 3): PE + its derivative chains live
+        # in-kernel and the sdf scalar comes out [B, N] directly, so
+        # the [M,39] xe/pe-vjp passes and the [M,257] cotangent
+        # assembly never touch HBM (~30 ms/step at 1M samples).
+        # Geometry crosses the boundary as [3, M] CHANNEL PLANES: the
+        # [M, 3] layout pads 3 -> 128 lanes (42x HBM traffic) on every
+        # producer/consumer pass — hlo_dump.py measured 25.5 ms/step of
+        # such glue at 1M samples.  Planes are built from three [B, N]
+        # fusions (bitwise-identical arithmetic, per element).
         from fmov_pose_tpu.ops import fused_sdf
-        if fused_sdf.supported_rays(sdf_cfg, n_samples, pts.shape[0]):
-            # rays variant (round 3): PE + its derivative chains live
-            # in-kernel and the sdf scalar comes out [B, N] directly, so
-            # the [M,39] xe/pe-vjp passes and the [M,257] cotangent
-            # assembly never touch HBM (~30 ms/step at 1M samples)
-            sdf_nn, sdf_bn_direct, gradients = \
-                fused_sdf.sdf_apply_grad_fused_rays(
-                    params["sdf"], sdf_cfg, pts, n_samples)
-        else:
+        pts_pl = jnp.concatenate(
+            [(rays_o[:, c:c + 1] + rays_d[:, c:c + 1] * mid_z_vals)
+             .reshape(1, -1) for c in range(3)], axis=0)
+        sdf_nn, sdf_bn_direct, grad_pl = \
+            fused_sdf.sdf_apply_grad_fused_rays(
+                params["sdf"], sdf_cfg, pts_pl, n_samples)
+    else:
+        pts = (rays_o[:, None, :]
+               + rays_d[:, None, :] * mid_z_vals[..., :, None]).reshape(-1, 3)
+        dirs = jnp.broadcast_to(
+            rays_d[:, None, :], (batch_size, n_samples, 3)).reshape(-1, 3)
+        if use_fused_train:
+            # fully-fused Pallas path: fwd+grad in one kernel, and a
+            # fused second-order backward (custom_vjp) — O(batch)
+            # memory, ~15% faster than the remat'ed XLA path on v5e
+            from fmov_pose_tpu.ops import fused_sdf
             sdf_nn, gradients = fused_sdf.sdf_apply_grad_fused(
                 params["sdf"], sdf_cfg, pts)
-    else:
-        # remat: the outer training grad differentiates through this
-        # block's own VJP (second order for the eikonal term).  Without
-        # checkpointing, XLA materializes every per-layer activation of
-        # both passes — ~25 GB at 1M samples.  Recomputing them in the
-        # backward trades ~2x MLP FLOPs for O(batch) memory.
-        def _sdf_block(sdf_params, pts_in):
-            out = nets.sdf_apply(sdf_params, sdf_cfg, pts_in)
-            grads = nets.sdf_gradient(sdf_params, sdf_cfg, pts_in)
-            return out, grads
+        else:
+            # remat: the outer training grad differentiates through this
+            # block's own VJP (second order for the eikonal term).  Without
+            # checkpointing, XLA materializes every per-layer activation of
+            # both passes — ~25 GB at 1M samples.  Recomputing them in the
+            # backward trades ~2x MLP FLOPs for O(batch) memory.
+            def _sdf_block(sdf_params, pts_in):
+                out = nets.sdf_apply(sdf_params, sdf_cfg, pts_in)
+                grads = nets.sdf_gradient(sdf_params, sdf_cfg, pts_in)
+                return out, grads
 
-        sdf_nn, gradients = jax.checkpoint(_sdf_block)(params["sdf"], pts)
+            sdf_nn, gradients = jax.checkpoint(_sdf_block)(
+                params["sdf"], pts)
     if sdf_bn_direct is not None:
         sdf = sdf_bn_direct.reshape(-1, 1)
     else:
         sdf = sdf_nn[:, :1]
     feature = sdf_nn[:, 1:]
     if eval_mode:
-        gradients = jax.lax.stop_gradient(gradients)
+        if grad_pl is not None:
+            grad_pl = jax.lax.stop_gradient(grad_pl)
+        else:
+            gradients = jax.lax.stop_gradient(gradients)
 
     color_cfg = model_cfg["color"]
     use_fused_color = False
@@ -206,19 +227,28 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     if use_fused_train and color_cfg.get("use_fused_train", True):
         from fmov_pose_tpu.ops import fused_color
         use_fused_color = (fused_color.supported(color_cfg)
-                           and pts.shape[0] >= fused_color.MIN_SAMPLES)
+                           and m_total >= fused_color.MIN_SAMPLES)
         # ray-level composited kernel (round 3): reads the raw SDF output
         # (no [M,256] feature slice), builds the PE tail in-kernel from
-        # [M,9], and composites each ray's samples in VMEM — the [M,289]
-        # concat + cotangent, [M,3] color and [B,N,3] composite chains
-        # (glue_probe.py: ~22 ms at 1M samples) never touch HBM.
+        # [9, M] planes, and composites each ray's samples in VMEM — the
+        # [M,289] concat + cotangent, [M,3] color and [B,N,3] composite
+        # chains (glue_probe.py: ~22 ms at 1M samples) never touch HBM.
         # Incompatible with NeRF++ background mixing (needs per-sample
-        # colors) — falls back to the featfirst path there.
+        # colors) — falls back to the featfirst path there.  Requires
+        # the rays SDF path (plane-form geometry + raw sdf_nn).
         import os
         use_fused_color_ray = (
-            use_fused_color and background_alpha is None
+            use_fused_color and use_rays and background_alpha is None
             and fused_color.supported_ray(color_cfg, n_samples)
             and os.environ.get("FMOV_FUSED_COLOR_RAY", "1") == "1")
+
+    if use_rays and not use_fused_color_ray:
+        # rare combo (e.g. NeRF++ background at rays scale): downstream
+        # color paths need row-form [M, 3] geometry
+        pts = pts_pl.T
+        dirs = jnp.broadcast_to(
+            rays_d[:, None, :], (batch_size, n_samples, 3)).reshape(-1, 3)
+        gradients = grad_pl.T
 
     if use_fused_color_ray:
         sampled_color = None  # composited in-kernel after weights
@@ -249,7 +279,14 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     # per materialized op on TPU. Elementwise only — bitwise identical.
     sdf_bn = (sdf_bn_direct if sdf_bn_direct is not None
               else sdf.reshape(batch_size, n_samples))
-    true_cos = (dirs * gradients).sum(-1).reshape(batch_size, n_samples)
+    if gradients is None:
+        # plane form: three [B, N] fused multiplies, no [M, 3] pass
+        g_bn = grad_pl.reshape(3, batch_size, n_samples)
+        true_cos = (rays_d[:, 0:1] * g_bn[0] + rays_d[:, 1:2] * g_bn[1]
+                    + rays_d[:, 2:3] * g_bn[2])
+    else:
+        true_cos = (dirs * gradients).sum(-1).reshape(
+            batch_size, n_samples)
     # anneal keeps cos "alive" early in training (`renderer.py:297-302`)
     iter_cos = -(
         jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
@@ -289,7 +326,12 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     weights_sum = weights.sum(axis=-1, keepdims=True)
     if use_fused_color_ray:
         from fmov_pose_tpu.ops import fused_color
-        u = jnp.concatenate([pts, dirs, gradients], axis=-1)
+        # [9, M] channel planes: pts/dirs/normals as rows
+        dirs_pl = jnp.concatenate(
+            [jnp.broadcast_to(rays_d[:, c:c + 1],
+                              (batch_size, n_samples)).reshape(1, -1)
+             for c in range(3)], axis=0)
+        u = jnp.concatenate([pts_pl, dirs_pl, grad_pl], axis=0)
         color = fused_color.color_fused_ray(
             params["color"], color_cfg, sdf_nn, u, weights)
     else:
@@ -297,10 +339,14 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
     if background_rgb is not None:
         color = color + background_rgb * (1.0 - weights_sum)
 
-    # sqrt-of-sum-of-squares on [N, 3] then reshape — avoids a
-    # [B, N, 3] norm whose 3-wide minor dim pads 42x
-    grad_norm = jnp.sqrt((gradients * gradients).sum(-1)).reshape(
-        batch_size, n_samples)
+    # sqrt-of-sum-of-squares over the channel axis — never a [B, N, 3]
+    # norm whose 3-wide minor dim pads 42x
+    if gradients is None:
+        grad_norm = jnp.sqrt((grad_pl * grad_pl).sum(0)).reshape(
+            batch_size, n_samples)
+    else:
+        grad_norm = jnp.sqrt((gradients * gradients).sum(-1)).reshape(
+            batch_size, n_samples)
     gradient_error_raw = (grad_norm - 1.0) ** 2
     eik_num = (relax_inside_sphere * gradient_error_raw).sum()
     eik_den = relax_inside_sphere.sum()
@@ -314,14 +360,19 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         "color": color,
         "sdf": sdf,
         "dists": dists,
-        "gradients": gradients.reshape(batch_size, n_samples, 3),
+        # row-form outputs exist for eval/aux consumers only; in the
+        # train loss they are unused and XLA dead-code-eliminates the
+        # transposes
+        "gradients": (grad_pl.reshape(3, batch_size, n_samples)
+                      .transpose(1, 2, 0) if gradients is None
+                      else gradients.reshape(batch_size, n_samples, 3)),
         "s_val": 1.0 / inv_s,
         "mid_z_vals": mid_z_vals,
         "weights": weights,
         "cdf": c,
         "gradient_error": gradient_error,
         "inside_sphere": inside_sphere,
-        "pts": pts,
+        "pts": pts if pts is not None else pts_pl.T,
     }
 
 

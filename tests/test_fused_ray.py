@@ -63,7 +63,7 @@ def test_ray_op_matches_oracle(fc, weight_norm):
     M = B * N
     params = _params(rng, d_feat + d_small, 24, n_layers + 1, weight_norm)
     sdf_out = jnp.asarray(rng.normal(size=(M, 1 + d_feat)), jnp.float32)
-    u = jnp.asarray(rng.normal(size=(M, 9)), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(9, M)), jnp.float32)  # channel planes
     weights = jnp.asarray(rng.random((B, N)), jnp.float32)
 
     assert fc.supported_ray(cfg, N)
@@ -156,7 +156,7 @@ def test_ray_op_unpadded_single_tile(fc):
     M = B * N
     params = _params(rng, d_feat + 9 + 6 * L, 16, n_layers + 1, True)
     sdf_out = jnp.asarray(rng.normal(size=(M, 1 + d_feat)), jnp.float32)
-    u = jnp.asarray(rng.normal(size=(M, 9)), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(9, M)), jnp.float32)  # channel planes
     weights = jnp.asarray(rng.random((B, N)), jnp.float32)
     got = fc.color_fused_ray(params, cfg, sdf_out, u, weights)
     want = fc.ray_reference(params, cfg, sdf_out, u, weights)
