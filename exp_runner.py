@@ -39,6 +39,9 @@ def main():
     # resolution of the end-of-train mesh (`exp_runner.py:2121-2123` uses a
     # fixed 512); overridable so CPU head-to-head runs stay tractable
     parser.add_argument("--final_mesh_resolution", type=int, default=512)
+    # additive vs the reference CLI (which hard-seeds 2024 at import):
+    # seed-variance studies (HEADTOHEAD.md) need distinct training seeds
+    parser.add_argument("--seed", type=int, default=2024)
     args = parser.parse_args()
 
     from fmov_pose_tpu.train.runner import Runner
@@ -49,7 +52,7 @@ def main():
             is_continue=os.path.exists(os.path.join(new_exp_dir, "checkpoints")),
             start_at=args.start_at, start_img_idx=args.start_img_idx,
             gradient_analysis=args.gradient_analysis, exp_dir=new_exp_dir,
-            has_global_conf=os.path.exists(new_exp_dir))
+            has_global_conf=os.path.exists(new_exp_dir), seed=args.seed)
 
     def global_mask_dir_for(case):
         if "ho3d" in args.global_conf:
@@ -64,7 +67,7 @@ def main():
         has_global_conf=args.global_conf != "None" or "GT.conf" in args.conf,
         flow_interval=args.flow_interval,
         reset_rot_degree=args.reset_rot_degree,
-        image_interval=args.image_interval)
+        image_interval=args.image_interval, seed=args.seed)
 
     if args.mode == "train":
         if args.global_conf != "None":

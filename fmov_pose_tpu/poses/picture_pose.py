@@ -64,29 +64,37 @@ def _kaiming_linear(rng, d_in, d_out):
     bound = 1.0 / math.sqrt(d_in)
     w = rng.uniform(-bound, bound, (d_out, d_in)).astype(np.float32)
     b = rng.uniform(-bound, bound, (d_out,)).astype(np.float32)
-    return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    return {"w": w, "b": b}
 
 
-def init_gf(seed: int, cfg: PoseCfg, init_c2w: np.ndarray) -> Params:
-    """init_c2w: [num_cams, 4, 4] (or [4, 4] broadcastable seed pose)."""
-    rng = np.random.default_rng(seed)
-    b = _bands(rng, cfg)
+def _gf_train_np(rng, cfg: PoseCfg):
+    """Trainable GF-pose leaves as HOST numpy (same RNG draw order as the
+    original device-array form — checkpoints/parity depend on it)."""
     train = {
         "lin1": _kaiming_linear(rng, EMBED_SIZE * 2, 64),
         "lin2": _kaiming_linear(rng, 64, 64),
     }
     if cfg.emphasize_rot:
         train["lin3_rot"] = {
-            "w": jnp.asarray(rng.normal(0, 0.01, (3, 64)).astype(np.float32)),
-            "b": jnp.zeros((3,))}
-        train["lin3_trans"] = {"w": jnp.zeros((3, 64)), "b": jnp.zeros((3,))}
+            "w": rng.normal(0, 0.01, (3, 64)).astype(np.float32),
+            "b": np.zeros((3,), np.float32)}
+        train["lin3_trans"] = {"w": np.zeros((3, 64), np.float32),
+                               "b": np.zeros((3,), np.float32)}
         train["lin3_scale"] = {
-            "w": jnp.asarray(rng.normal(0, 0.01, (1, 64)).astype(np.float32)),
-            "b": jnp.ones((1,))}
+            "w": rng.normal(0, 0.01, (1, 64)).astype(np.float32),
+            "b": np.ones((1,), np.float32)}
     else:
         train["lin3"] = {
-            "w": jnp.asarray(rng.normal(0, 0.01, (6, 64)).astype(np.float32)),
-            "b": jnp.zeros((6,))}
+            "w": rng.normal(0, 0.01, (6, 64)).astype(np.float32),
+            "b": np.zeros((6,), np.float32)}
+    return train
+
+
+def init_gf(seed: int, cfg: PoseCfg, init_c2w: np.ndarray) -> Params:
+    """init_c2w: [num_cams, 4, 4] (or [4, 4] broadcastable seed pose)."""
+    rng = np.random.default_rng(seed)
+    b = _bands(rng, cfg)
+    train = jax.tree_util.tree_map(jnp.asarray, _gf_train_np(rng, cfg))
     if init_c2w.ndim == 2:
         init_c2w = init_c2w[None]
     static = {"b": jnp.asarray(b), "init_c2w": jnp.asarray(init_c2w, jnp.float32)}
@@ -148,9 +156,19 @@ def init_seg_bank(seed: int, cfg: PoseCfg, n_images: int, segment_img_num: int,
     S = num_segments(n_images, segment_img_num)
     if init_c2w.ndim == 3:
         init_c2w = init_c2w[0]
-    singles = [init_gf(seed + 1000 * s, cfg, init_c2w[None]) for s in range(S)]
-    train = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[s["train"] for s in singles])
-    b = jnp.stack([s["static"]["b"] for s in singles])
+    # build singles HOST-side and transfer each stacked leaf once: the
+    # old per-segment init_gf made ~10 device arrays per segment — at the
+    # reference's ~300-segment scale that is thousands of tiny H2D
+    # transfers (~5 ms each through the tunnel). Same RNG stream per
+    # segment (seed + 1000*s), so banks are bitwise-identical to before.
+    singles = []
+    for s in range(S):
+        rng = np.random.default_rng(seed + 1000 * s)
+        bands = _bands(rng, cfg)
+        singles.append({"train": _gf_train_np(rng, cfg), "b": bands})
+    train = jax.tree_util.tree_map(
+        lambda *xs: jnp.asarray(np.stack(xs)), *[s["train"] for s in singles])
+    b = jnp.asarray(np.stack([s["b"] for s in singles]))
     init_bank = jnp.broadcast_to(
         jnp.asarray(init_c2w, jnp.float32), (S, 4, 4))
     return {

@@ -360,9 +360,15 @@ def render_core(params, model_cfg, rays_o, rays_d, z_vals, sample_dist,
         "color": color,
         "sdf": sdf,
         "dists": dists,
-        # row-form outputs exist for eval/aux consumers only; in the
-        # train loss they are unused and XLA dead-code-eliminates the
-        # transposes
+        # row-form outputs for eval/aux consumers AND two train losses:
+        # train/step.py reads out['pts'] when unit_sphere_weight>0 and in
+        # the flow loss.  In the plain photo loss both are unused and XLA
+        # dead-code-eliminates the transposes; when those losses run on
+        # the rays path (>=64k samples), pts_pl.T materializes the [M,3]
+        # 42x-lane-padded layout — if that combination ever matters for
+        # perf, feed those consumers plane-form pts (the flow projection
+        # matmul can contract the channel axis directly).  Today flow
+        # batches sit far below the rays gate, so this is latent only.
         "gradients": (grad_pl.reshape(3, batch_size, n_samples)
                       .transpose(1, 2, 0) if gradients is None
                       else gradients.reshape(batch_size, n_samples, 3)),

@@ -261,6 +261,7 @@ class Runner:
             if self.pose_mode in ("seg", "seg_pixel") else 1)
         self.current_pose_mlp_index = 0
         self.pro_iteration = 0
+        self.reset_count = 0  # rotation-triggered reset_neus firings
         self.seg_progress = np.zeros((self.n_segments,), np.float64)
         self.seg_frozen = np.zeros((self.n_segments,), np.float32)
         self.seg_frozen[:] = 1.0  # 1 = trainable
@@ -433,7 +434,33 @@ class Runner:
         return out
 
     def query_poses(self, n: int) -> np.ndarray:
-        return np.stack([self.query_pose(i) for i in range(n)])
+        """All learned/GT c2w poses [n, 4, 4] in ONE device dispatch.
+
+        The per-frame loop was O(n) tunnel round-trips (~5 ms each): at
+        reference-scale sequences (~300 frames) validate_poses alone cost
+        seconds per call.  Ids are padded to a 32-bucket so the jit
+        compiles O(log n) times as current_image grows (jnp gathers clamp
+        out-of-range padded ids — the pad rows are sliced away)."""
+        if n <= 0:
+            return np.zeros((0, 4, 4), np.float32)
+        if not hasattr(self, "_query_many"):
+            cfg = self.step_cfg
+
+            @jax.jit
+            def query_many(params, pose_bank, pose_static, ids):
+                return jax.vmap(
+                    lambda i: step_mod.pose_of_frame(
+                        cfg, params, pose_bank, pose_static, i))(ids)
+
+            self._query_many = query_many
+        n_pad = ((n + 31) // 32) * 32
+        ids = jnp.arange(n_pad, dtype=jnp.int32)
+        p34 = np.asarray(self._query_many(
+            self.state.params, self.state.pose_bank, self.state.pose_static,
+            ids))[:n]
+        out = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        out[:, :3] = p34
+        return out
 
     # ------------------------------------------------------------------
     # schedules (host)
@@ -458,19 +485,16 @@ class Runner:
         counter first (`exp_runner.py:1064-1087`)."""
         for s in touched:
             self.seg_progress[s] += 1
-        lrs = np.zeros((self.n_segments,), np.float32)
-        wo_global = "_wo_global_conf" in self.base_exp_dir
-        for s in range(self.n_segments):
-            stepc = self.seg_progress[s]
-            if not wo_global:
-                progress = stepc / max(self.max_pro_iteration, 1)
-                alpha = self.pose_alpha
-            else:
-                progress = stepc / self.end_iter
-                alpha = self.learning_rate_alpha
-            factor = (np.cos(np.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
-            lrs[s] = self.pose_lr * factor
-        return lrs
+        # vectorized over segments (was a Python loop — O(S) per step at
+        # reference scale S~300); same per-segment math
+        if "_wo_global_conf" not in self.base_exp_dir:
+            progress = self.seg_progress / max(self.max_pro_iteration, 1)
+            alpha = self.pose_alpha
+        else:
+            progress = self.seg_progress / self.end_iter
+            alpha = self.learning_rate_alpha
+        factor = (np.cos(np.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
+        return (self.pose_lr * factor).astype(np.float32)
 
     # image replay permutations (`exp_runner.py:982-1041`)
     def get_image_perm(self):
@@ -551,6 +575,7 @@ class Runner:
     def reset_neus(self, seed=None):
         """Fresh SDF/color/NeRF/variance + optimizer, keep pose nets
         (`exp_runner.py:367-397`)."""
+        self.reset_count = getattr(self, "reset_count", 0) + 1
         seed = int(self.rng.integers(1 << 30)) if seed is None else seed
         params = self._field_params(seed)
         if self.pose_mode == "gf":
@@ -647,6 +672,100 @@ class Runner:
                 self.save_checkpoint()
         self.save_checkpoint()
 
+    def _train_planned(self, K):
+        """Progressive/flow training with k host-planned steps per
+        dispatch (step_mod.make_planned_steps).  Semantically identical
+        to the per-step loop below — `_plan_step`/`_pro_tick`/
+        `_maybe_regen_perms` are called in the same order consuming the
+        same host RNG; the k packed rows + flow pixel batches ship as
+        data in ONE transfer and run in one lax.scan.  Progressive
+        events (admission, warm-up end, rotation reset) and occ/val/save
+        boundaries always land on chunk edges; short chunks fall back to
+        per-step dispatch (no recompile per tail length)."""
+        self._init_perms()
+        chunk = step_mod.make_planned_steps(
+            self.step_cfg, self.images_dev, self.masks_dev,
+            self.intr_inv_dev, self.bbox_dev, K, depths=self.depths_dev)
+        zero_pix = np.zeros((self.batch_size // 2, 4), np.float32)
+        freqs = [self.report_freq, self.val_freq, self.pose_freq,
+                 self.val_mesh_freq, self.save_freq]
+        if self.occupancy_sampling:
+            freqs.append(self.occ_update_freq)
+        rays_per_step = self.batch_size * (2 if self.maintain_shape else 1)
+        t_start = time.time()
+        rays_done = 0
+        while self.iter_step < self.end_iter:
+            gap = min(f - self.iter_step % f for f in freqs)
+            budget = min(K, self.end_iter - self.iter_step, gap)
+            rows, pixes, uses = [], [], []
+            event = False
+            for _ in range(budget):
+                packed, use_flow, pixels_pair, _img = self._plan_step()
+                rows.append(packed)
+                uses.append(1.0 if use_flow else 0.0)
+                pixes.append(pixels_pair if use_flow else zero_pix)
+                self.iter_step += 1
+                event = self._pro_tick()
+                if event:
+                    break
+                self._maybe_regen_perms()
+            k = len(rows)
+            if k == K:
+                self.state, metrics = chunk(
+                    self.state, jnp.asarray(np.stack(rows)),
+                    jnp.asarray(np.stack(pixes)),
+                    jnp.asarray(uses, jnp.float32))
+            else:  # event/boundary tail: per-step dispatch, no recompile
+                for j in range(k):
+                    if uses[j] > 0:
+                        self.state, metrics = self.flow_step(
+                            self.state, rows[j], pixes[j])
+                    else:
+                        self.state, metrics = self.photo_step(
+                            self.state, rows[j])
+            rays_done += k * rays_per_step
+            if self._prof is not None:
+                self._prof.tick(k)
+            if event:
+                self._pro_events()
+                self._maybe_regen_perms()
+            if (self.occupancy_sampling
+                    and self.iter_step % self.occ_update_freq == 0):
+                self.update_occ_grid()
+            if self.iter_step % self.report_freq == 0:
+                m = {kk: float(v) for kk, v in metrics.items()}
+                dt = time.time() - t_start
+                LOG.info("iter %d loss=%.4f psnr=%.2f rays/s=%.0f (plan x%d)",
+                         self.iter_step, m["loss"], m["psnr"],
+                         rays_done / max(dt, 1e-9), K)
+                if self.writer:
+                    for kk, v in m.items():
+                        self.writer.add_scalar(f"Loss/{kk}", v, self.iter_step)
+            if self.iter_step % self.val_freq == 0:
+                try:
+                    self.validate_image()
+                except Exception as e:
+                    LOG.warning("validate_image failed: %s", e)
+            if self.iter_step % self.pose_freq == 0:
+                try:
+                    self.validate_poses()
+                except Exception as e:
+                    LOG.warning("validate_poses failed: %s", e)
+            if self.iter_step % self.val_mesh_freq == 0:
+                try:
+                    self.validate_mesh()
+                except Exception as e:
+                    LOG.warning("validate_mesh failed: %s", e)
+            if self.iter_step % self.save_freq == 0 and self.iter_step > 0:
+                self.save_checkpoint()
+            if "_wo_global_conf" not in self.base_exp_dir:
+                if (self.pro_iteration == -1
+                        and self.current_image == self.dataset.n_images):
+                    self.validate_mesh()
+                    self.save_checkpoint()
+                    return
+        self.save_checkpoint()
+
     _prof = None  # set per train() call; honors FMOV_PROFILE_DIR
 
     def train(self):
@@ -660,11 +779,27 @@ class Runner:
         finally:
             self._prof.close()
 
+    def _plan_eligible(self):
+        """The progressive/flow per-step loop can batch k host-planned
+        steps into one dispatch (step_mod.make_planned_steps): every
+        per-step decision is planned host-side with zero device feedback;
+        device reads (rotation reset, occ refresh) happen only at event
+        boundaries, where chunks end. Off by default pending the on-chip
+        measurement (train.plan_chunk > 1 enables)."""
+        k = self.conf.get_int("train.plan_chunk", 1)
+        if k <= 1 or self.use_dp or self.gradient_analysis:
+            return 0
+        return k
+
     def _train_dispatch(self):
         k_scan = self._scan_eligible()
         if k_scan:
             LOG.info("scan training: %d steps per dispatch", k_scan)
             return self._train_scan(k_scan)
+        k_plan = self._plan_eligible()
+        if k_plan:
+            LOG.info("planned training: up to %d steps per dispatch", k_plan)
+            return self._train_planned(k_plan)
         res_step = self.end_iter - self.iter_step
         self._init_perms()
 

@@ -529,6 +529,59 @@ def make_scan_photo_steps(cfg: StepConfig, images, masks, intr_inv_all,
     return scan_steps
 
 
+def make_planned_steps(cfg: StepConfig, images, masks, intr_inv_all,
+                       bbox_table, k_steps: int, depths=None):
+    """Run k host-PLANNED steps (mixed photo/flow) in ONE jitted dispatch.
+
+    The progressive phase's per-step host decisions (flow coin, LoFTR
+    pair draw, frame perms, per-segment gates/LRs) contain no device
+    feedback between steps — device reads happen only at progressive
+    events (admission / warm-up end / occ refresh), which the Runner
+    places at chunk boundaries.  So the Runner can call `_plan_step` k
+    times ahead, stack the packed scalar rows + flow pixel batches, and
+    dispatch one lax.scan: the per-step tunnel round-trip (~10-15 ms on
+    this box) and the packed-scalar H2D (~5 ms) amortize k-fold, while
+    the computed sequence is exactly the per-step loop's (same host RNG
+    consumption, same run_one bodies — tests/test_planned.py asserts
+    state equality).
+
+    Round-2 history: a coarser "seg-scan" that RE-DERIVED the schedule on
+    device was falsified (34.2 vs 39.7 it/s) and deleted; this one keeps
+    ALL planning host-side and ships it as data, so semantics cannot
+    drift from the per-step loop.
+
+    Inputs per chunk: packed_all [k, 9+3S], pixels_all [k, B/2, 4]
+    (zeros on photo rows), use_flow_all [k] (0/1 f32).
+    """
+    photo = make_photo_step(cfg, images, masks, intr_inv_all, bbox_table,
+                            depths=depths).run_one
+    flow = (make_flow_step(cfg, images, masks, intr_inv_all,
+                           bbox_table).run_one
+            if cfg.flow_weight > 0.0 else None)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(state: TrainState, packed_all, pixels_all, use_flow_all):
+        def body(st, row):
+            packed, pixels, uf = row
+            scalars, img_id, add_img_id, img_id_corr = unpack_scalars(
+                packed, cfg.n_segments)
+            if flow is None:
+                return photo(st, scalars, img_id, add_img_id)
+            return jax.lax.cond(
+                uf > 0.5,
+                lambda s: flow(s, scalars, img_id, img_id_corr, add_img_id,
+                               pixels),
+                lambda s: photo(s, scalars, img_id, add_img_id),
+                st)
+        state, metrics = jax.lax.scan(
+            body, state, (packed_all, pixels_all, use_flow_all),
+            length=k_steps)
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
+    return run_chunk
+
+
 def make_flow_step(cfg: StepConfig, images, masks, intr_inv_all, bbox_table):
     """Flow-pair step: half-batch match rays per frame (+maintain rays)."""
 

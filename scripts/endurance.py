@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Full-schedule endurance run (VERDICT r3 Missing #2 / Next #3).
+
+Runs the SHIPPED two-phase schedule, unreduced, on a reference-scale
+synthetic sequence: 64 frames at 256^2 through the `*_tpu_fast` preset —
+progressive phase-1 admits 1 frame / 1,000 iters (≈64k iters + warm-up,
+the early-return fires once all frames are admitted, exactly like the
+reference's `exp_runner.py:967-976`), then the full 150,000-iter phase-2
+global refinement (`ho3d_global_womask.conf:21`).  Exercises the
+long-horizon behaviors no short run sees: cosine LR tail, hours of bf16
+phase-2 numerics, occupancy-grid refresh cadence, checkpoint cadence,
+validation cadence at shipped freqs.
+
+Writes ENDURANCE.md at the repo root from the run logs + final metrics.
+
+Usage (ONE TPU process at a time):
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/endurance.py run \
+      [--work /root/endur] [--frames 64] [--res 256] [--plan_chunk 8]
+  PYTHONPATH=/root/repo python scripts/endurance.py report [--work /root/endur]
+"""
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import numpy as np
+
+
+def prepare(work, frames, res, plan_chunk):
+    from fmov_pose_tpu.data.synthetic import make_orbit_sequence
+    os.makedirs(os.path.join(work, "confs"), exist_ok=True)
+    root = os.path.join(work, "data", "HO3Dv3")
+    os.makedirs(os.path.join(root, "ann"), exist_ok=True)
+    if not os.path.exists(os.path.join(root, "SYN_ori", "cameras_sphere.npz")):
+        span = min(40.0 + 2.6 * frames, 340.0)
+        make_orbit_sequence(os.path.join(root, "SYN_ori"), n_frames=frames,
+                            H=res, W=res, span_deg=span)
+        make_orbit_sequence(os.path.join(root, "SYN"), n_frames=frames,
+                            H=res, W=res, span_deg=span,
+                            with_matches=False, with_crop=False)
+        import shutil
+        shutil.copy(os.path.join(root, "SYN", "cameras_sphere.npz"),
+                    os.path.join(root, "ann", "SYN.npz"))
+    for name in ("ho3d_virtual_tpu_fast.conf", "ho3d_global_womask_tpu_fast.conf"):
+        text = open(os.path.join(REPO, "confs", name)).read()
+        if plan_chunk > 1 and "virtual" in name:
+            text = text.replace("use_fused_train_kernels = True",
+                                "use_fused_train_kernels = True\n"
+                                f"    plan_chunk = {plan_chunk}")
+        with open(os.path.join(work, "confs", name), "w") as f:
+            f.write(text)
+    with open(os.path.join(work, "meta.json"), "w") as f:
+        json.dump({"frames": frames, "res": res, "plan_chunk": plan_chunk,
+                   "t_prepared": time.time()}, f)
+    print(f"prepared {work}: {frames} frames @ {res}^2")
+
+
+def run(work):
+    env = dict(os.environ)
+    paths = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if REPO not in paths:
+        paths.insert(0, REPO)
+    if not any("axon_site" in p for p in paths):
+        paths.append("/root/.axon_site")
+    env["PYTHONPATH"] = os.pathsep.join(paths)
+    cmd = [sys.executable, os.path.join(REPO, "exp_runner.py"),
+           "--mode", "train",
+           "--conf", "./confs/ho3d_virtual_tpu_fast.conf",
+           "--case", "SYN_ori",
+           "--global_conf", "./confs/ho3d_global_womask_tpu_fast.conf"]
+    log = os.path.join(work, "endurance_run.log")
+    print("+", " ".join(cmd), "\nlog ->", log, flush=True)
+    t0 = time.time()
+    with open(log, "w") as f:
+        rc = subprocess.call(cmd, cwd=work, env=env, stdout=f,
+                             stderr=subprocess.STDOUT)
+    wall = time.time() - t0
+    with open(os.path.join(work, "run_result.json"), "w") as f:
+        json.dump({"rc": rc, "wall_s": wall}, f)
+    print(f"endurance run rc={rc} wall={wall/3600:.2f} h")
+    return rc
+
+
+def _parse_log(path):
+    """Pull iteration/rays-s/loss/psnr trajectories + events from the log."""
+    it_re = re.compile(
+        r"iter (\d+) loss=([\d.naninf-]+) psnr=([\d.naninf-]+) "
+        r"rays/s=(\d+)")
+    ate_re = re.compile(r"ate=([\d.]+) rpe_trans=([\d.]+) rpe_rot=([\d.]+)")
+    rows, ates = [], []
+    admitted = resets = 0
+    reboot_line = None
+    text = open(path, errors="replace").read()
+    for i, line in enumerate(text.splitlines()):
+        m = it_re.search(line)
+        if m:
+            rows.append((i, int(m.group(1)), float(m.group(2)),
+                         float(m.group(3)), int(m.group(4))))
+        m = ate_re.search(line)
+        if m:
+            ates.append(tuple(float(g) for g in m.groups()))
+        if "admitted frames" in line:
+            admitted += 1
+        if "rotation reset" in line:
+            resets += 1
+        if "reboot the system" in line:
+            reboot_line = i
+    phase1 = [r for r in rows if reboot_line is None or r[0] < reboot_line]
+    phase2 = [r for r in rows if reboot_line is not None and r[0] > reboot_line]
+    return dict(rows=rows, phase1=phase1, phase2=phase2, ates=ates,
+                admitted=admitted, resets=resets,
+                rebooted=reboot_line is not None)
+
+
+def report(work):
+    import headtohead as h2h
+    meta = json.load(open(os.path.join(work, "meta.json")))
+    res = json.load(open(os.path.join(work, "run_result.json")))
+    log = _parse_log(os.path.join(work, "endurance_run.log"))
+    exp = os.path.join(work, "exp", "SYN_ori", "ours")
+    g = os.path.join(exp, "ho3d_global_womask_tpu_fast")
+
+    gt = None
+    try:
+        h2h.N_FRAMES = meta["frames"]
+        gt = h2h.gt_poses(work)
+    except Exception as e:
+        print("gt poses unavailable:", e)
+
+    def pose_m(poses):
+        return h2h.pose_metrics(poses, gt[:len(poses)]) if gt is not None \
+            else None
+
+    p2_pose = None
+    pp_files = sorted(glob.glob(os.path.join(g, "poses_*.npy")),
+                      key=lambda p: int(re.findall(r"(\d+)", p)[-1]))
+    if pp_files:
+        arr = np.load(pp_files[-1], allow_pickle=True)
+        poses = (h2h.load_ref_pose_dict(pp_files[-1])[0]
+                 if arr.dtype == object else arr)
+        p2_pose = pose_m(poses)
+    p1_pose = None
+    gp = sorted(glob.glob(os.path.join(exp, "global_poses_*.npy")))
+    if gp:
+        p1_pose = pose_m(np.load(gp[-1]))
+    cd = None
+    meshes = sorted(glob.glob(os.path.join(g, "meshes", "*.ply")),
+                    key=os.path.getmtime)
+    if meshes:
+        cd = h2h.mesh_chamfer(meshes[-1])
+
+    p1, p2 = log["phase1"], log["phase2"]
+    nan_rows = [r for r in log["rows"]
+                if not (np.isfinite(r[2]) and np.isfinite(r[3]))]
+
+    def traj(rows, n=6):
+        if not rows:
+            return "(none)"
+        idx = np.linspace(0, len(rows) - 1, min(n, len(rows))).astype(int)
+        return ", ".join(f"it{rows[i][1]}: {rows[i][4]/1000:.1f}k rays/s "
+                         f"psnr {rows[i][3]:.1f}" for i in idx)
+
+    lines = [
+        "# ENDURANCE — full shipped schedule on one v5e chip",
+        "",
+        f"Sequence: {meta['frames']} synthetic orbit frames @ "
+        f"{meta['res']}^2 (data/synthetic.py), `*_tpu_fast` preset confs "
+        "UNREDUCED (admit 1 frame / 1,000 iters; phase-2 end_iter "
+        "150,000; shipped val/save/pose freqs), "
+        f"plan_chunk={meta['plan_chunk']}, run via `exp_runner.py` "
+        "(the real CLI).",
+        "",
+        f"- exit code: {res['rc']}  |  wall-clock: "
+        f"{res['wall_s']/3600:.2f} h",
+        f"- progressive admissions: {log['admitted']} "
+        f"(rotation resets: {log['resets']})",
+        f"- phase-2 reboot reached: {log['rebooted']}",
+        f"- report rows: {len(log['rows'])} | non-finite loss/psnr rows: "
+        f"{len(nan_rows)}",
+        "",
+        f"Phase-1 trajectory: {traj(p1)}",
+        f"Phase-2 trajectory: {traj(p2)}",
+        "",
+        "## Final metrics (synthetic GT orbit / analytic sphere)",
+        "",
+    ]
+    if p1_pose:
+        lines.append(f"- phase-1 aligned poses: ATE {p1_pose['ate']:.4f}, "
+                     f"RPE-trans {p1_pose['rpe_trans']:.4f}, RPE-rot "
+                     f"{p1_pose['rpe_rot_deg']:.2f} deg")
+    if p2_pose:
+        lines.append(f"- phase-2 final poses: ATE {p2_pose['ate']:.4f}, "
+                     f"RPE-trans {p2_pose['rpe_trans']:.4f}, RPE-rot "
+                     f"{p2_pose['rpe_rot_deg']:.2f} deg")
+    if log["ates"]:
+        a = log["ates"][-1]
+        lines.append(f"- last in-training validate_poses: ate {a[0]:.4f} "
+                     f"rpe_trans {a[1]:.4f} rpe_rot {a[2]:.2f} deg")
+    if cd is not None:
+        lines.append(f"- final mesh chamfer vs analytic sphere: {cd:.4f} "
+                     f"({os.path.basename(meshes[-1])})")
+    if p2:
+        last_psnr = [r[3] for r in p2[-5:]]
+        lines.append(f"- phase-2 train PSNR tail (last 5 reports): "
+                     f"{', '.join(f'{v:.1f}' for v in last_psnr)}")
+    lines.append("")
+    out = os.path.join(REPO, "ENDURANCE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print("wrote", out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=("prepare", "run", "report", "all"))
+    ap.add_argument("--work", default="/root/endur")
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--plan_chunk", type=int, default=1)
+    args = ap.parse_args()
+    if args.cmd in ("prepare", "all"):
+        prepare(args.work, args.frames, args.res, args.plan_chunk)
+    if args.cmd in ("run", "all"):
+        rc = run(args.work)
+        if rc != 0:
+            sys.exit(rc)
+    if args.cmd in ("report", "all"):
+        report(args.work)
+
+
+if __name__ == "__main__":
+    main()

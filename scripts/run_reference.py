@@ -121,6 +121,10 @@ def main():
     parser.add_argument("--skip_render_poses", default=True,
                         action="store_true",
                         help="skip the novel-view mp4 (eval-only artifact)")
+    parser.add_argument("--seed", type=int, default=2024,
+                        help="re-seed AFTER the reference's import-time "
+                             "seeding (exp_runner.py:29-30 hard-seeds 2024)"
+                             " — used for h2h seed-variance runs")
     args = parser.parse_args()
 
     patch_torch_cpu()
@@ -128,6 +132,13 @@ def main():
     torch.set_num_threads(max(os.cpu_count() or 1, 1))
 
     import exp_runner as ref  # the reference module, via /root/reference
+
+    if args.seed != 2024:
+        import random
+        import numpy as np
+        torch.manual_seed(args.seed)
+        np.random.seed(args.seed)
+        random.seed(args.seed)
 
     # latent reference bug: exp_runner.py:57 uses `csv` without importing
     # it (extract_camera_poses, reached at train end via :980); inject it

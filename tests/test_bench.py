@@ -60,3 +60,9 @@ def test_build_phase2_gf_scan_fused_interpret(monkeypatch):
     new_state, metrics = scan(state, n_img)
     jax.block_until_ready(metrics["loss"])
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_idle_guard_reports_load():
+    rep = bench.idle_guard(max_wait_s=0.0)
+    assert "loadavg_at_start" in rep and "contended" in rep
+    assert isinstance(rep["contended"], bool)
