@@ -63,7 +63,7 @@ def prepare(work, frames, res, plan_chunk):
     print(f"prepared {work}: {frames} frames @ {res}^2")
 
 
-def run(work):
+def run(work, max_s=None):
     env = dict(os.environ)
     paths = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
     if REPO not in paths:
@@ -79,13 +79,28 @@ def run(work):
     log = os.path.join(work, "endurance_run.log")
     print("+", " ".join(cmd), "\nlog ->", log, flush=True)
     t0 = time.time()
+    timed_out = False
     with open(log, "w") as f:
-        rc = subprocess.call(cmd, cwd=work, env=env, stdout=f,
-                             stderr=subprocess.STDOUT)
+        proc = subprocess.Popen(cmd, cwd=work, env=env, stdout=f,
+                                stderr=subprocess.STDOUT)
+        try:
+            rc = proc.wait(timeout=max_s)
+        except subprocess.TimeoutExpired:
+            # wall-clock budget spent: stop cleanly and report on the
+            # partial run — the trajectories in the log are still the
+            # long-horizon evidence the run exists for
+            timed_out = True
+            proc.terminate()
+            try:
+                rc = proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                rc = proc.wait()
     wall = time.time() - t0
     with open(os.path.join(work, "run_result.json"), "w") as f:
-        json.dump({"rc": rc, "wall_s": wall}, f)
-    print(f"endurance run rc={rc} wall={wall/3600:.2f} h")
+        json.dump({"rc": rc, "wall_s": wall, "timed_out": timed_out}, f)
+    print(f"endurance run rc={rc} wall={wall/3600:.2f} h "
+          f"timed_out={timed_out}")
     return rc
 
 
@@ -179,7 +194,9 @@ def report(work):
         "(the real CLI).",
         "",
         f"- exit code: {res['rc']}  |  wall-clock: "
-        f"{res['wall_s']/3600:.2f} h",
+        f"{res['wall_s']/3600:.2f} h"
+        + ("  |  STOPPED AT WALL-CLOCK CAP (partial run)"
+           if res.get("timed_out") else ""),
         f"- progressive admissions: {log['admitted']} "
         f"(rotation resets: {log['resets']})",
         f"- phase-2 reboot reached: {log['rebooted']}",
@@ -225,12 +242,15 @@ def main():
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--plan_chunk", type=int, default=1)
+    ap.add_argument("--max_s", type=float, default=None,
+                    help="wall-clock cap for the run; on expiry the run is "
+                         "stopped and report still works on the partial log")
     args = ap.parse_args()
     if args.cmd in ("prepare", "all"):
         prepare(args.work, args.frames, args.res, args.plan_chunk)
     if args.cmd in ("run", "all"):
-        rc = run(args.work)
-        if rc != 0:
+        rc = run(args.work, max_s=args.max_s)
+        if rc != 0 and args.cmd == "run":
             sys.exit(rc)
     if args.cmd in ("report", "all"):
         report(args.work)
