@@ -70,13 +70,17 @@ def _t_feature_dim(cfg: DeepPoseCfg) -> int:
 def _kaiming(rng, d_in, d_out):
     bound = 1.0 / math.sqrt(d_in)
     return {
-        "w": jnp.asarray(rng.uniform(-bound, bound, (d_out, d_in)),
-                         jnp.float32),
-        "b": jnp.asarray(rng.uniform(-bound, bound, (d_out,)), jnp.float32),
+        "w": rng.uniform(-bound, bound, (d_out, d_in)).astype(np.float32),
+        "b": rng.uniform(-bound, bound, (d_out,)).astype(np.float32),
     }
 
 
-def init_deep_pose(seed: int, cfg: DeepPoseCfg, init_c2w: np.ndarray) -> Params:
+def init_deep_pose(seed: int, cfg: DeepPoseCfg, init_c2w: np.ndarray,
+                   as_np: bool = False) -> Params:
+    """Built HOST-side (numpy) and transferred once — the per-leaf device
+    init was ~2(D+1) tiny H2D transfers per call, which multiplies by S in
+    init_seg_deep_bank (thousands at reference-scale sequences).  RNG draw
+    order is unchanged, so banks/checkpoints are bitwise-identical."""
     rng = np.random.default_rng(seed)
     in_x = 3 * (1 + 2 * cfg.x_multires)
     in_ch = in_x + _t_feature_dim(cfg)
@@ -87,33 +91,34 @@ def init_deep_pose(seed: int, cfg: DeepPoseCfg, init_c2w: np.ndarray) -> Params:
     out_dim = 6 if cfg.rot_type == "angle" else 9
     out = _kaiming(rng, cfg.W, out_dim)
     if cfg.output_init == "zero":
-        out = {"w": jnp.zeros_like(out["w"]), "b": jnp.zeros_like(out["b"])}
+        out = {"w": np.zeros_like(out["w"]), "b": np.zeros_like(out["b"])}
     elif cfg.output_init == "small_weight":
-        out = {"w": jnp.asarray(rng.normal(0, 0.01, out["w"].shape),
-                                jnp.float32),
-               "b": jnp.zeros_like(out["b"])}
+        out = {"w": rng.normal(0, 0.01, out["w"].shape).astype(np.float32),
+               "b": np.zeros_like(out["b"])}
     elif cfg.output_init == "direct":
         bias = np.zeros(out_dim, np.float32)
         bias[3:6] = np.asarray(init_c2w)[0, :3, 3] if init_c2w.ndim == 3 \
             else np.asarray(init_c2w)[:3, 3]
-        out = {"w": jnp.zeros_like(out["w"]), "b": jnp.asarray(bias)}
+        out = {"w": np.zeros_like(out["w"]), "b": bias}
 
     static: Dict[str, Any] = {
-        "init_c2w": jnp.asarray(
-            init_c2w if init_c2w.ndim == 3 else init_c2w[None], jnp.float32)}
+        "init_c2w": np.asarray(
+            init_c2w if init_c2w.ndim == 3 else init_c2w[None], np.float32)}
     if cfg.cam_id_encoding == "fourier":
-        static["t_bands"] = jnp.asarray(
-            rng.normal(0, 1.0 / (4 * cfg.n_images),
-                       (cfg.fourier_embed_dim, 1)), jnp.float32)
+        static["t_bands"] = rng.normal(
+            0, 1.0 / (4 * cfg.n_images),
+            (cfg.fourier_embed_dim, 1)).astype(np.float32)
     elif cfg.cam_id_encoding == "original_fourier":
-        static["t_bands"] = jnp.asarray(
-            rng.normal(0, 10.0, (256, 1)), jnp.float32)
+        static["t_bands"] = rng.normal(0, 10.0, (256, 1)).astype(np.float32)
     elif cfg.cam_id_encoding == "embedding":
-        static["t_embed"] = jnp.asarray(
-            rng.normal(0, 1.0, (cfg.n_images, 128)), jnp.float32)
+        static["t_embed"] = rng.normal(
+            0, 1.0, (cfg.n_images, 128)).astype(np.float32)
     train = {f"lin{i}": p for i, p in enumerate(layers)}
     train["out"] = out
-    return {"train": train, "static": static}
+    params = {"train": train, "static": static}
+    if as_np:
+        return params
+    return jax.tree_util.tree_map(jnp.asarray, params)
 
 
 def _t_features(cfg: DeepPoseCfg, static, cam_id):
@@ -187,17 +192,18 @@ def init_seg_deep_bank(seed: int, cfg: DeepPoseCfg, n_images: int,
     S = num_segments(n_images, segment_img_num)
     if init_c2w.ndim == 3:
         init_c2w = init_c2w[0]
-    singles = [init_deep_pose(seed + 1000 * s, cfg, init_c2w[None])
+    # host-side singles, ONE stacked transfer per leaf (see init_deep_pose)
+    singles = [init_deep_pose(seed + 1000 * s, cfg, init_c2w[None], as_np=True)
                for s in range(S)]
     train = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *[s["train"] for s in singles])
+        lambda *xs: jnp.asarray(np.stack(xs)), *[s["train"] for s in singles])
     static = {"init_c2w": jnp.broadcast_to(
         jnp.asarray(init_c2w, jnp.float32), (S, 4, 4)),
         "initialized": jnp.zeros((S,), jnp.bool_).at[0].set(True),
         "progress": jnp.zeros((S,), jnp.float32)}
     keys = [k for k in singles[0]["static"] if k.startswith("t_")]
     for k in keys:
-        static[k] = jnp.stack([s["static"][k] for s in singles])
+        static[k] = jnp.asarray(np.stack([s["static"][k] for s in singles]))
     return {"train": train, "static": static}
 
 

@@ -110,13 +110,30 @@ def prepare(work):
     print(f"prepared {work} ({N_FRAMES} frames @ {RES}^2, span {SPAN} deg)")
 
 
-def run_ref(work):
-    wd = os.path.join(work, "ref")
+def _variant_wd(work, base, variant):
+    """Clone the prepared `base` workdir layout for a seed-variance run:
+    confs copied, data / package symlinked, exp fresh."""
+    if variant is None:
+        return os.path.join(work, base)
+    wd = os.path.join(work, f"{base}_{variant}")
+    src = os.path.join(work, base)
+    os.makedirs(os.path.join(wd, "confs"), exist_ok=True)
+    for c in glob.glob(os.path.join(src, "confs", "*.conf")):
+        shutil.copy(c, os.path.join(wd, "confs", os.path.basename(c)))
+    for link in ("data", "models", "utils", "fmov_pose_tpu"):
+        s, d = os.path.join(src, link), os.path.join(wd, link)
+        if os.path.exists(s) and not os.path.exists(d):
+            os.symlink(os.path.realpath(s), d)
+    return wd
+
+
+def run_ref(work, seed=2024, variant=None):
+    wd = _variant_wd(work, "ref", variant)
     cmd = [sys.executable, os.path.join(REPO, "scripts", "run_reference.py"),
            "--conf", "./confs/ho3d_virtual.conf", "--case", "SYN_ori",
            "--global_conf", "./confs/ho3d_global_womask.conf",
-           "--final_mesh_resolution", "192"]
-    log = os.path.join(work, "ref_run.log")
+           "--final_mesh_resolution", "192", "--seed", str(seed)]
+    log = os.path.join(work, f"{os.path.basename(wd)}_run.log")
     print("+", " ".join(cmd), "\nlog ->", log)
     with open(log, "w") as f:
         rc = subprocess.call(cmd, cwd=wd, stdout=f, stderr=subprocess.STDOUT)
@@ -124,8 +141,8 @@ def run_ref(work):
     return rc
 
 
-def run_ours(work, device="tpu"):
-    wd = os.path.join(work, "ours")
+def run_ours(work, device="tpu", seed=2024, variant=None):
+    wd = _variant_wd(work, "ours", variant)
     env = dict(os.environ)
     paths = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
     if device == "cpu":
@@ -142,8 +159,8 @@ def run_ours(work, device="tpu"):
            "--global_conf", "./confs/ho3d_global_womask.conf",
            # same final mesh resolution the ref run gets (run_ref passes
            # --final_mesh_resolution 192) — fair chamfer, CPU-tractable
-           "--final_mesh_resolution", "192"]
-    log = os.path.join(work, "ours_run.log")
+           "--final_mesh_resolution", "192", "--seed", str(seed)]
+    log = os.path.join(work, f"{os.path.basename(wd)}_run.log")
     print("+", " ".join(cmd), "\nlog ->", log)
     with open(log, "w") as f:
         rc = subprocess.call(cmd, cwd=wd, env=env, stdout=f,
@@ -347,6 +364,83 @@ def score(work):
     return out
 
 
+def _phase2_of_wd(wd, side_kind, gt):
+    """Phase-2 pose metrics + chamfer of one workdir (ref- or ours-side)."""
+    exp = os.path.join(wd, "exp", "SYN_ori", "ours")
+    g = os.path.join(exp, "ho3d_global_womask")
+    res = {}
+    pp = sorted(glob.glob(os.path.join(g, "poses_*.npy")),
+                key=lambda p: int(re.findall(r"(\d+)", p)[-1]))
+    if pp:
+        if side_kind == "ref":
+            poses, _ = load_ref_pose_dict(pp[-1])
+        else:
+            arr = np.load(pp[-1], allow_pickle=True)
+            poses = (load_ref_pose_dict(pp[-1])[0]
+                     if arr.dtype == object else arr)
+        res.update(pose_metrics(poses, gt[:len(poses)]))
+    meshes = sorted(glob.glob(os.path.join(g, "meshes", "*.ply")),
+                    key=os.path.getmtime)
+    if meshes:
+        res["chamfer"] = mesh_chamfer(meshes[-1])
+    return res
+
+
+def variance(work):
+    """Seed-variance supplement (VERDICT r3 Weak #2: 'a single lucky draw
+    could explain a 0.65-0.82 ratio').  Scores every `ours[_s*]` and
+    `ref[_s*]` workdir's phase-2 pose/chamfer metrics and APPENDS a
+    seed-variance section to HEADTOHEAD.md (run `score` first)."""
+    gt = gt_poses(work)
+    rows = []
+    for wd in sorted(glob.glob(os.path.join(work, "ours*")) +
+                     glob.glob(os.path.join(work, "ref*"))):
+        if not os.path.isdir(wd) or not os.path.isdir(
+                os.path.join(wd, "exp")):
+            continue
+        name = os.path.basename(wd)
+        kind = "ref" if name.startswith("ref") else "ours"
+        try:
+            m = _phase2_of_wd(wd, kind, gt)
+        except Exception as e:  # noqa: BLE001 — keep the table
+            print(f"variance: {name} failed: {e!r}")
+            continue
+        if m:
+            rows.append((name, m))
+    with open(os.path.join(work, "variance.json"), "w") as f:
+        json.dump(dict(rows), f, indent=2)
+    lines = [
+        "## Seed variance (phase-2, same data/confs, training seed varies)",
+        "",
+        "| run | ATE | RPE-trans | RPE-rot (deg) | chamfer |",
+        "|---|---|---|---|---|",
+    ]
+    for name, m in rows:
+        lines.append(
+            f"| {name} | {_fmt(m.get('ate', '-'))} |"
+            f" {_fmt(m.get('rpe_trans', '-'))} |"
+            f" {_fmt(m.get('rpe_rot_deg', '-'))} |"
+            f" {_fmt(m.get('chamfer', '-'))} |")
+    for kind in ("ours", "ref"):
+        vals = [m["ate"] for n, m in rows
+                if n.startswith(kind) and "ate" in m]
+        if len(vals) >= 2:
+            lines.append("")
+            lines.append(
+                f"{kind}: ATE mean {np.mean(vals):.4f} / min "
+                f"{min(vals):.4f} / max {max(vals):.4f} over "
+                f"{len(vals)} seeds.")
+    lines.append("")
+    path = os.path.join(REPO, "HEADTOHEAD.md")
+    text = open(path).read() if os.path.exists(path) else ""
+    marker = "## Seed variance"
+    if marker in text:
+        text = text[:text.index(marker)]
+    with open(path, "w") as f:
+        f.write(text + "\n".join(lines) + "\n")
+    print("appended seed-variance section to", path)
+
+
 def _fmt(v):
     return f"{v:.4f}" if isinstance(v, float) else str(v)
 
@@ -413,20 +507,26 @@ def write_report(work, out, path=os.path.join(REPO, "HEADTOHEAD.md")):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=("prepare", "run-ref", "run-ours",
-                                    "psnr-eval", "score"))
+                                    "psnr-eval", "score", "variance"))
     ap.add_argument("--work", default="/root/hth")
     ap.add_argument("--device", choices=("tpu", "cpu"), default="tpu")
+    ap.add_argument("--seed", type=int, default=2024)
+    ap.add_argument("--variant", default=None,
+                    help="seed-variance run name suffix, e.g. s1 -> "
+                         "<work>/ours_s1")
     args = ap.parse_args()
     if args.cmd == "prepare":
         prepare(args.work)
     elif args.cmd == "run-ref":
-        sys.exit(run_ref(args.work))
+        sys.exit(run_ref(args.work, args.seed, args.variant))
     elif args.cmd == "run-ours":
-        sys.exit(run_ours(args.work, args.device))
+        sys.exit(run_ours(args.work, args.device, args.seed, args.variant))
     elif args.cmd == "psnr-eval":
         sys.exit(psnr_eval(args.work, args.device))
     elif args.cmd == "score":
         score(args.work)
+    elif args.cmd == "variance":
+        variance(args.work)
 
 
 if __name__ == "__main__":
