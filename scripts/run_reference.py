@@ -68,6 +68,22 @@ def patch_torch_cpu():
                  "empty_cache", "synchronize"):
         setattr(torch.cuda, name, lambda *a, **k: None)
 
+    # the reference restores with torch.load(..., map_location=self.device)
+    # (`exp_runner.py:1110`) where self.device is a CUDA device object —
+    # map it to CPU like every other device request
+    _orig_tload = torch.load
+
+    def tload(*args, **kwargs):
+        if "map_location" in kwargs:
+            kwargs["map_location"] = _map(kwargs["map_location"])
+        elif len(args) >= 2:
+            args = (args[0], _map(args[1])) + tuple(args[2:])
+        else:
+            kwargs["map_location"] = "cpu"
+        return _orig_tload(*args, **kwargs)
+
+    torch.load = tload
+
     _orig_sdtt = torch.set_default_tensor_type
 
     def set_default_tensor_type(t):
