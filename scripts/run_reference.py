@@ -80,6 +80,10 @@ def patch_torch_cpu():
             args = (args[0], _map(args[1])) + tuple(args[2:])
         else:
             kwargs["map_location"] = "cpu"
+        # torch>=2.6 defaults weights_only=True, which rejects the
+        # reference's own checkpoints (they pickle numpy scalars); these
+        # are locally-produced files from the h2h run itself
+        kwargs.setdefault("weights_only", False)
         return _orig_tload(*args, **kwargs)
 
     torch.load = tload
