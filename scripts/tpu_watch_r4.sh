@@ -53,6 +53,15 @@ run phase1_decomp 1200 python scripts/phase1_decomp.py
 run barf_gate 2400 python scripts/e2e_barf_smoke.py --iters 2000 \
     --work /tmp/barf_gate_r4
 
+# h2h ours-side reruns on chip (minutes each vs ~30 CPU-min): seed-2024
+# rebuild of work/ours/exp (was cleaned; psnr-eval needs the checkpoint)
+# + two variance seeds (VERDICT r3 Weak #2)
+run h2h_ours 1800 python scripts/headtohead.py run-ours --device tpu
+run h2h_ours_s1 1800 python scripts/headtohead.py run-ours --device tpu \
+    --seed 1 --variant s1
+run h2h_ours_s2 1800 python scripts/headtohead.py run-ours --device tpu \
+    --seed 2 --variant s2
+
 # endurance gets whatever wall-clock remains (leave 12 min for the report
 # + the driver's round-end bench); skip if under 35 min — a sub-35-min
 # "endurance" run proves nothing a pipeline_quality run hasn't
