@@ -259,7 +259,7 @@ def _probe_device(timeout_s=180):
 
 
 def progressive_phase1(fused, batch=512, n_samples=32, n_importance=0,
-                       warm_iter=250, steady_iter=300):
+                       warm_iter=250, steady_iter=300, occ=False):
     """The HONEST phase-1 number (VERDICT r3 Weak #1): steady-state
     progressive joint pose+SDF training through the real Runner — seg
     pose bank + flow loss + maintain_shape + host curriculum planning +
@@ -274,7 +274,7 @@ def progressive_phase1(fused, batch=512, n_samples=32, n_importance=0,
     import seg_scan_probe
     iters, dt = seg_scan_probe.run(
         "True", "True" if fused else "False", warm_iter=warm_iter,
-        steady_iter=steady_iter, occ="False", batch=batch,
+        steady_iter=steady_iter, occ="True" if occ else "False", batch=batch,
         n_samples=n_samples, n_importance=n_importance)
     return iters * batch * 2 / dt  # maintain_shape doubles the rays
 
@@ -319,11 +319,14 @@ def main():
             details[tag] = round(steps_per_sec * 4096)
         except Exception as e:
             details[tag] = f"failed: {str(e)[:120]}"
-    # honest shipped-config progressive phase-1 (plain + fused preset)
-    for fused in (False, True):
-        tag = "phase1_progressive" + ("_fused" if fused else "")
+    # honest shipped-config progressive phase-1: plain, fused preset, and
+    # the documented recommended configuration (fused + occupancy — the
+    # *_tpu_fast preset, equal-or-better quality per pipeline_quality.py)
+    for fused, occ in ((False, False), (True, False), (True, True)):
+        tag = ("phase1_progressive" + ("_fused" if fused else "")
+               + ("_occ" if occ else ""))
         try:
-            details[tag] = round(progressive_phase1(fused))
+            details[tag] = round(progressive_phase1(fused, occ=occ))
         except Exception as e:
             details[tag] = f"failed: {str(e)[:120]}"
     base, base_src = baseline_rays_per_sec()
@@ -336,8 +339,10 @@ def main():
                    and isinstance(v, (int, float))), default=0.0)
     details["phase2_envelope_rays_per_sec"] = round(base_p2, 1)
     details["phase2_vs_envelope"] = round(p2_best / base_p2, 2)
-    p1_prog = details.get("phase1_progressive_fused")
-    if isinstance(p1_prog, (int, float)):
+    p1_prog = max((details.get(k) for k in
+                   ("phase1_progressive_fused", "phase1_progressive_fused_occ")
+                   if isinstance(details.get(k), (int, float))), default=None)
+    if p1_prog is not None:
         details["phase1_progressive_vs_envelope"] = round(p1_prog / base, 2)
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",

@@ -83,6 +83,20 @@ def main():
 
     out["step_np_arg_ms"] = round(timeit_ms(step_np), 2)
 
+    # flow step — HALF the steady-state steps are flow steps (the loop
+    # flips rng.random() < 0.5, runner.py _plan_step), each shipping a
+    # [B/2, 4] pixels_pair + running the flow loss; never measured before
+    flow_step = step_mod.make_flow_step(photo_step.cfg, *photo_step.data)
+    pixels_pair = np.random.default_rng(0).uniform(
+        10, 100, size=(B // 2, 4)).astype(np.float32)
+
+    def step_flow():
+        s, m = flow_step(st[0], packed, pixels_pair)
+        st[0] = s
+        return m["loss"]
+
+    out["flow_step_np_arg_ms"] = round(timeit_ms(step_flow), 2)
+
     # pure device estimate: k-step scan amortizes dispatch + H2D away
     cfg = photo_step.cfg
     images, masks, intr_inv, bbox = photo_step.data
