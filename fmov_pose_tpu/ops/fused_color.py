@@ -61,7 +61,11 @@ def _materialize(params, n_lin):
 
 
 def _dot(a, b):
+    # precision pinned: a global jax_default_matmul_precision=highest
+    # otherwise stamps fp32 contract precision on the bf16 operands and
+    # Mosaic rejects the kernel ("Bad lhs type").
     return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   precision=jax.lax.Precision.DEFAULT,
                    preferred_element_type=jnp.float32)
 
 
@@ -69,7 +73,8 @@ def _dot_acc(a, b):
     """a^T @ b with f32 accumulation (weight-cotangent accumulation)."""
     return jax.lax.dot_general(
         a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        (((0,), (0,)), ((), ())), precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
 
 
 def apply_from_concat(params, cfg, xc):

@@ -124,8 +124,15 @@ def _pe_second_term(xs, d_inputs, ct_grad, multires):
 
 
 def _dot(a, b):
-    """bf16 x bf16 -> f32 MXU dot (weights are cast once per tile)."""
+    """bf16 x bf16 -> f32 MXU dot (weights are cast once per tile).
+
+    precision is pinned to DEFAULT: without it a global
+    jax_default_matmul_precision=highest stamps contract_precision<fp32>
+    onto the bf16 operands and Mosaic rejects the kernel ("Bad lhs
+    type").  bf16 x bf16 single-pass is the intended semantics here
+    regardless of the global knob."""
     return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   precision=jax.lax.Precision.DEFAULT,
                    preferred_element_type=jnp.float32)
 
 
@@ -491,7 +498,8 @@ def _make_bwd_kernel_biased(cfg, n_lin):
             e = ds[l + 1] * sp
             dws[l][:] += jax.lax.dot_general(
                 fbar.astype(jnp.bfloat16), e.astype(jnp.bfloat16),
-                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                (((0,), (0,)), ((), ())), precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
             ebar = _dot(fbar, ws[l])
             dbar = ebar * sp
             spp = 100.0 * sp * (1.0 - sp)
@@ -516,7 +524,8 @@ def _make_bwd_kernel_biased(cfg, n_lin):
                        if l == S else prev)
             dws[l][:] += jax.lax.dot_general(
                 inp.astype(jnp.bfloat16), zbar.astype(jnp.bfloat16),
-                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                (((0,), (0,)), ((), ())), precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
             dbs[l][:] += jnp.sum(zbar, axis=0, keepdims=True)
             inpbar = _dot(zbar, wts[l])
             if l == S:
@@ -835,7 +844,8 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
             e = ds[l + 1] * sp
             dws[l][:] += jax.lax.dot_general(
                 fbar.astype(jnp.bfloat16), e.astype(jnp.bfloat16),
-                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                (((0,), (0,)), ((), ())), precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
             ebar = _dot(fbar, ws[l])
             dbar = ebar * sp
             spp = 100.0 * sp * (1.0 - sp)
@@ -860,7 +870,8 @@ def _make_bwd_rays_kernel(cfg, n_lin, n_samples):
                        if l == S else prev)
             dws[l][:] += jax.lax.dot_general(
                 inp.astype(jnp.bfloat16), zbar.astype(jnp.bfloat16),
-                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                (((0,), (0,)), ((), ())), precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
             dbs[l][:] += jnp.sum(zbar, axis=0, keepdims=True)
             inpbar = _dot(zbar, wts[l])
             if l == S:
