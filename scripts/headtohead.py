@@ -399,6 +399,8 @@ def variance(work):
                 os.path.join(wd, "exp")):
             continue
         name = os.path.basename(wd)
+        if name.endswith("_f32"):
+            continue  # precision ablation, not a seed draw (own section)
         kind = "ref" if name.startswith("ref") else "ours"
         try:
             m = _phase2_of_wd(wd, kind, gt)
