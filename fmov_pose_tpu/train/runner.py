@@ -208,6 +208,22 @@ class Runner:
         compute_dtype = conf.get("train.compute_dtype", "float32")
         for net in ("sdf", "color", "nerf"):
             self.model_cfg[net].setdefault("compute_dtype", compute_dtype)
+        # global matmul contraction precision. TPU's DEFAULT contracts
+        # f32 operands in one bf16 pass (fastest); "highest" makes XLA
+        # matmuls f32-equivalent — the quality dial for SHORT schedules
+        # (600-iter h2h ablation: bf16 costs render PSNR while pose/
+        # chamfer match; at shipped-length schedules bf16 quality
+        # converges — see HEADTOHEAD.md precision ablation). The Pallas
+        # fused kernels intentionally ignore this knob (single-pass bf16
+        # is their contract, ops/fused_sdf.py:_dot). jax.config is
+        # process-global, so only touch it when the key is present.
+        mm_prec = conf.get("train.matmul_precision", None)
+        if mm_prec is not None:
+            if mm_prec not in ("default", "high", "highest"):
+                raise ValueError(
+                    f"train.matmul_precision must be default/high/highest,"
+                    f" got {mm_prec!r}")
+            jax.config.update("jax_default_matmul_precision", mm_prec)
         # Pallas-fused SDF forward for gradient-free paths (upsampling,
         # mesh grids, eval renders); auto-disabled on CPU
         self.model_cfg["sdf"]["use_fused"] = conf.get_bool(

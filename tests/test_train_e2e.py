@@ -201,3 +201,32 @@ def test_progressive_virtual_training(data_root, tmp_path):
     # validate_poses computes ATE against synthetic GT
     ate, rpe_t, rpe_r, gt, est = runner.validate_poses()
     assert np.isfinite(ate)
+
+
+def test_matmul_precision_knob(data_root, tmp_path):
+    """train.matmul_precision sets the global contraction precision
+    (the short-schedule quality dial, HEADTOHEAD.md precision ablation);
+    absent key leaves the process-global config untouched."""
+    import jax
+
+    def build(extra):
+        conf_path = _write_conf(
+            tmp_path / f"prec{len(extra)}.conf",
+            GT_CONF.replace("train {{", "train {{\n    " + extra, 1)
+            if extra else GT_CONF,
+            exp_dir=str(tmp_path / "exp_prec"),
+            data_dir=str(data_root / "SYN_ori"),
+            end_iter=10, batch=16)
+        return Runner(conf_path, mode="train", case="SYN_ori",
+                      has_global_conf=True)
+
+    before = jax.config.jax_default_matmul_precision
+    try:
+        build("")  # no key: untouched
+        assert jax.config.jax_default_matmul_precision == before
+        build("matmul_precision = highest")
+        assert jax.config.jax_default_matmul_precision == "highest"
+        with pytest.raises(ValueError, match="matmul_precision"):
+            build("matmul_precision = fp8")
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
