@@ -242,8 +242,16 @@ def main():
               f"(flop {flop_bound:.0f}, dispatch {dispatch_bound:.0f})")
 
     path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    # merge-preserve sections owned by other scripts (phase1_progressive
+    # comes from scripts/measure_progressive_baseline.py)
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = {}
+    prev.update(out)
     with open(path, "w") as f:
-        json.dump(out, f, indent=2)
+        json.dump(prev, f, indent=2)
     print(f"wrote {path}")
 
 

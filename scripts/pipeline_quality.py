@@ -49,6 +49,14 @@ def main():
     ap.add_argument("--occupancy", action="store_true")
     ap.add_argument("--fused", action="store_true",
                     help="train.use_fused_train_kernels in BOTH phases")
+    ap.add_argument("--p2_batch", type=int, default=512,
+                    help="phase-2 batch size (the tpu_turbo preset runs "
+                         "4096 with end_iter/8 — equal total rays)")
+    ap.add_argument("--p2_lr", type=str, default=None,
+                    help="phase-2 learning_rate override (e.g. 1e-3)")
+    ap.add_argument("--p2_warmup", type=int, default=200,
+                    help="phase-2 warm_up_end (scale down for short "
+                         "big-batch schedules)")
     args = ap.parse_args()
 
     import numpy as np
@@ -99,16 +107,20 @@ def main():
                 + "\n    use_fused_train_kernels = "
                 + ("True" if args.fused else "False"),
         }))
+    p2_subs = dict(common, **{
+        r"end_iter = \d+": f"end_iter = {args.p2_iters}",
+        r"batch_size = \d+": f"batch_size = {args.p2_batch}",
+        r"warm_up_end = \d+": f"warm_up_end = {args.p2_warmup}",
+        r"mask_guided_sampling = True":
+            "mask_guided_sampling = True\n    use_fused_train_kernels = "
+            + ("True" if args.fused else "False"),
+    })
+    if args.p2_lr is not None:
+        p2_subs[r"learning_rate = \S+"] = f"learning_rate = {args.p2_lr}"
     shrink_conf(
         os.path.join(REPO, "confs/ho3d_global_womask.conf"),
         os.path.join(work, "confs/ho3d_global.conf"),
-        dict(common, **{
-            r"end_iter = \d+": f"end_iter = {args.p2_iters}",
-            r"warm_up_end = \d+": "warm_up_end = 200",
-            r"mask_guided_sampling = True":
-                "mask_guided_sampling = True\n    use_fused_train_kernels = "
-                + ("True" if args.fused else "False"),
-        }))
+        p2_subs)
 
     # drive the real CLI in-process: the parent already owns the (single,
     # shared) TPU via the site jax import — a subprocess would deadlock it
@@ -187,6 +199,7 @@ def main():
         "p1_occupancy": args.occupancy,
         "fused": args.fused,
         "p1_iters": args.p1_iters, "p2_iters": args.p2_iters,
+        "p2_batch": args.p2_batch, "p2_lr": args.p2_lr,
         "pipeline_time_s": round(train_time, 1),
         "p1_ate": None if ate1 is None else round(float(ate1[0]), 5),
         "p2_psnr": round(float(psnr2), 2),

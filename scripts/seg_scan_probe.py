@@ -72,8 +72,10 @@ model {{
 """
 
 
-def run(scan, fused, warm_iter=300, steady_iter=400, occ="False",
-        batch=512, n_samples=64, n_importance=64):
+def build_runner(scan="True", fused="True", occ="False", batch=512,
+                 n_samples=64, n_importance=64, end_iter=300):
+    """Fresh probe Runner on a synthetic sequence (also used by
+    scripts/phase1_decomp.py to time the host planner in isolation)."""
     tmp = tempfile.mkdtemp()
     data_dir = os.path.join(tmp, "SYN_ori")
     make_orbit_sequence(data_dir, n_frames=8, H=128, W=128, span_deg=70)
@@ -82,10 +84,17 @@ def run(scan, fused, warm_iter=300, steady_iter=400, occ="False",
         f.write(CONF.format(exp_dir=os.path.join(tmp, "exp"),
                             data_dir=data_dir,
                             flow_dir=os.path.join(tmp, "matches"),
-                            end_iter=warm_iter, scan=scan, fused=fused,
+                            end_iter=end_iter, scan=scan, fused=fused,
                             occ=occ, batch=batch, n_samples=n_samples,
                             n_importance=n_importance))
-    r = Runner(conf_path, mode="train", case="SYN_ori", has_global_conf=True)
+    return Runner(conf_path, mode="train", case="SYN_ori",
+                  has_global_conf=True)
+
+
+def run(scan, fused, warm_iter=300, steady_iter=400, occ="False",
+        batch=512, n_samples=64, n_importance=64):
+    r = build_runner(scan, fused, occ, batch, n_samples, n_importance,
+                     end_iter=warm_iter)
     r.train()  # compiles everything (all chunk sizes recur within 300 iters)
     r.end_iter = warm_iter + steady_iter
     t0 = time.time()
