@@ -660,8 +660,10 @@ class Runner:
             if self.iter_step % self.report_freq == 0:
                 m = {kk: float(v) for kk, v in metrics.items()}
                 dt = time.time() - t_start
-                LOG.info("iter %d loss=%.4f psnr=%.2f rays/s=%.0f (scan x%d)",
-                         self.iter_step, m["loss"], m["psnr"],
+                LOG.info("iter %d loss=%.4f color=%.4f eik=%.4f psnr=%.2f "
+                         "rays/s=%.0f (scan x%d)",
+                         self.iter_step, m["loss"], m.get("color_loss", 0.0),
+                         m.get("eikonal_loss", 0.0), m["psnr"],
                          rays_done / max(dt, 1e-9), k)
                 if self.writer:
                     for kk, v in m.items():
@@ -848,8 +850,10 @@ class Runner:
             if self.iter_step % self.report_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t_start
-                LOG.info("iter %d loss=%.4f psnr=%.2f rays/s=%.0f dir=%s",
-                         self.iter_step, m["loss"], m["psnr"],
+                LOG.info("iter %d loss=%.4f color=%.4f eik=%.4f psnr=%.2f "
+                         "rays/s=%.0f dir=%s",
+                         self.iter_step, m["loss"], m.get("color_loss", 0.0),
+                         m.get("eikonal_loss", 0.0), m["psnr"],
                          rays_done / max(dt, 1e-9), self.base_exp_dir)
                 if self.writer:
                     for k, v in m.items():

@@ -107,8 +107,8 @@ def run(work, max_s=None):
 def _parse_log(path):
     """Pull iteration/rays-s/loss/psnr trajectories + events from the log."""
     it_re = re.compile(
-        r"iter (\d+) loss=([\d.naninf-]+) psnr=([\d.naninf-]+) "
-        r"rays/s=(\d+)")
+        r"iter (\d+) loss=([\d.naninf-]+) (?:color=[\d.naninf-]+ "
+        r"eik=[\d.naninf-]+ )?psnr=([\d.naninf-]+) rays/s=(\d+)")
     ate_re = re.compile(r"ate=([\d.]+) rpe_trans=([\d.]+) rpe_rot=([\d.]+)")
     rows, ates = [], []
     admitted = resets = 0

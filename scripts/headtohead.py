@@ -141,7 +141,7 @@ def run_ref(work, seed=2024, variant=None):
     return rc
 
 
-def run_ours(work, device="tpu", seed=2024, variant=None):
+def run_ours(work, device="tpu", seed=2024, variant=None, ga=False):
     wd = _variant_wd(work, "ours", variant)
     env = dict(os.environ)
     paths = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
@@ -160,6 +160,8 @@ def run_ours(work, device="tpu", seed=2024, variant=None):
            # same final mesh resolution the ref run gets (run_ref passes
            # --final_mesh_resolution 192) — fair chamfer, CPU-tractable
            "--final_mesh_resolution", "192", "--seed", str(seed)]
+    if ga:
+        cmd.append("--gradient_analysis")
     log = os.path.join(work, f"{os.path.basename(wd)}_run.log")
     print("+", " ".join(cmd), "\nlog ->", log)
     with open(log, "w") as f:
@@ -545,13 +547,17 @@ def main():
     ap.add_argument("--variant", default=None,
                     help="seed-variance run name suffix, e.g. s1 -> "
                          "<work>/ours_s1")
+    ap.add_argument("--ga", action="store_true",
+                    help="run-ours: enable --gradient_analysis "
+                         "(per-loss gradient stats at report cadence)")
     args = ap.parse_args()
     if args.cmd == "prepare":
         prepare(args.work)
     elif args.cmd == "run-ref":
         sys.exit(run_ref(args.work, args.seed, args.variant))
     elif args.cmd == "run-ours":
-        sys.exit(run_ours(args.work, args.device, args.seed, args.variant))
+        sys.exit(run_ours(args.work, args.device, args.seed, args.variant,
+                          ga=args.ga))
     elif args.cmd == "psnr-eval":
         sys.exit(psnr_eval(args.work, args.device))
     elif args.cmd == "score":
