@@ -141,6 +141,11 @@ def main():
     parser.add_argument("--skip_render_poses", default=True,
                         action="store_true",
                         help="skip the novel-view mp4 (eval-only artifact)")
+    parser.add_argument("--gradient_analysis", default=False,
+                        action="store_true",
+                        help="pass gradient_analysis=True to the reference "
+                             "Runner(s) (per-loss gradient stats, printed "
+                             "every iter — slow; use with a short end_iter)")
     parser.add_argument("--seed", type=int, default=2024,
                         help="re-seed AFTER the reference's import-time "
                              "seeding (exp_runner.py:29-30 hard-seeds 2024)"
@@ -170,7 +175,7 @@ def main():
     # ---- faithful replica of exp_runner.py:2041-2133 (train mode) ----
     runner = ref.Runner(
         args.conf, args.mode, args.case, args.dataset, args.is_continue,
-        args.start_at, args.start_img_idx, False,
+        args.start_at, args.start_img_idx, args.gradient_analysis,
         exp_dir=args.exp_dir,
         has_global_conf=(args.global_conf != "None" or "GT.conf" in args.conf
                          or args.exp_dir is not None),
@@ -211,7 +216,7 @@ def main():
                 is_continue=os.path.exists(
                     os.path.join(new_exp_dir, "checkpoints")),
                 start_at=args.start_at, start_img_idx=args.start_img_idx,
-                gradient_analysis=False,
+                gradient_analysis=args.gradient_analysis,
                 exp_dir=os.path.join(original_exp_dir, conf_name),
                 has_global_conf=os.path.exists(new_exp_dir))
             print("reboot the system for global training"
