@@ -22,6 +22,7 @@ init_c2w)} — the split keeps optimizer masking trivial.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -201,28 +202,53 @@ def seg_apply(bank: Params, cfg: PoseCfg, segment_img_num: int, cam_id) -> jnp.n
     return gf_apply(single, cfg, cam_id)
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def _seg_init_static(bank: Params, seg_idx, cfg: PoseCfg,
+                     segment_img_num: int):
+    """Device side of :func:`seg_initialize` with a TRACED segment index.
+
+    The eager form recompiled ~20 tiny kernels per admission (every
+    `x[int]` gather / `.at[int].set` bakes the index into the cache key),
+    which through the tunnel's remote compiler amortized to ~12 ms on
+    EVERY training step of the progressive loop. One traced-index jit
+    compiles once and serves every admission."""
+    last_cam = seg_idx * segment_img_num - 1
+    last_pose = gf_apply(seg_slice(bank, seg_idx - 1), cfg, last_cam)
+    pose4 = to_4x4(last_pose)
+    return (bank["static"]["init_c2w"].at[seg_idx].set(pose4),
+            bank["static"]["initialized"].at[seg_idx].set(True))
+
+
 def seg_initialize(bank: Params, cfg: PoseCfg, segment_img_num: int,
                    seg_idx: int) -> Params:
     """Host-triggered lazy init of segment `seg_idx` from the previous
     segment's last pose (`picture_pose.py:225-237`)."""
-    if bool(bank["static"]["initialized"][seg_idx]):
+    if bool(np.asarray(jax.device_get(bank["static"]["initialized"]))[seg_idx]):
         return bank
-    last_cam = seg_idx * segment_img_num - 1
-    last_pose = gf_apply(seg_slice(bank, seg_idx - 1), cfg, last_cam)
-    pose4 = to_4x4(last_pose)
-    static = dict(bank["static"])
-    static["init_c2w"] = static["init_c2w"].at[seg_idx].set(pose4)
-    static["initialized"] = static["initialized"].at[seg_idx].set(True)
+    init_c2w, initialized = _seg_init_static(
+        bank, jnp.asarray(seg_idx, jnp.int32), cfg, segment_img_num)
+    static = dict(bank["static"], init_c2w=init_c2w, initialized=initialized)
     return {"train": bank["train"], "static": static}
+
+
+@jax.jit
+def _bank_set_at(arr, idx, val):
+    """Traced-index `.at[].set` (index-agnostic compile, see
+    :func:`_seg_init_static`)."""
+    return arr.at[idx].set(val)
 
 
 def seg_set_pose(bank: Params, seg_idx: int, pose4x4, force: bool = False) -> Params:
     """Explicit seeding (`picture_pose.py:239-246`)."""
-    if bool(bank["static"]["initialized"][seg_idx]) and not force:
+    if (bool(np.asarray(jax.device_get(bank["static"]["initialized"]))[seg_idx])
+            and not force):
         return bank
     static = dict(bank["static"])
-    static["init_c2w"] = static["init_c2w"].at[seg_idx].set(jnp.asarray(pose4x4))
-    static["initialized"] = static["initialized"].at[seg_idx].set(True)
+    idx = jnp.asarray(seg_idx, jnp.int32)
+    static["init_c2w"] = _bank_set_at(
+        static["init_c2w"], idx, jnp.asarray(pose4x4, jnp.float32))
+    static["initialized"] = _bank_set_at(
+        static["initialized"], idx, jnp.asarray(True))
     return {"train": bank["train"], "static": static}
 
 

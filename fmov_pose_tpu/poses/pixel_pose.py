@@ -16,6 +16,7 @@ TPU re-design of `/root/reference/models/pixel_pose.py`:
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -223,14 +224,24 @@ def seg_deep_apply(bank: Params, cfg: DeepPoseCfg, segment_img_num: int,
     return deep_pose_apply(seg_deep_slice(bank, seg_idx), cfg, cam_id)
 
 
-def seg_deep_initialize(bank: Params, cfg: DeepPoseCfg, segment_img_num: int,
-                        seg_idx: int) -> Params:
-    if bool(bank["static"]["initialized"][seg_idx]):
-        return bank
+@partial(jax.jit, static_argnums=(2, 3))
+def _seg_deep_init_static(bank: Params, seg_idx, cfg: DeepPoseCfg,
+                          segment_img_num: int):
+    """Traced-index device side of :func:`seg_deep_initialize` — one
+    compile serves every admission (the eager form recompiled per
+    segment index; see picture_pose._seg_init_static)."""
     last_cam = seg_idx * segment_img_num - 1
     last_pose = deep_pose_apply(seg_deep_slice(bank, seg_idx - 1), cfg,
                                 last_cam)
-    static = dict(bank["static"])
-    static["init_c2w"] = static["init_c2w"].at[seg_idx].set(to_4x4(last_pose))
-    static["initialized"] = static["initialized"].at[seg_idx].set(True)
+    return (bank["static"]["init_c2w"].at[seg_idx].set(to_4x4(last_pose)),
+            bank["static"]["initialized"].at[seg_idx].set(True))
+
+
+def seg_deep_initialize(bank: Params, cfg: DeepPoseCfg, segment_img_num: int,
+                        seg_idx: int) -> Params:
+    if bool(np.asarray(jax.device_get(bank["static"]["initialized"]))[seg_idx]):
+        return bank
+    init_c2w, initialized = _seg_deep_init_static(
+        bank, jnp.asarray(seg_idx, jnp.int32), cfg, segment_img_num)
+    static = dict(bank["static"], init_c2w=init_c2w, initialized=initialized)
     return {"train": bank["train"], "static": static}

@@ -401,8 +401,8 @@ def variance(work):
                 os.path.join(wd, "exp")):
             continue
         name = os.path.basename(wd)
-        if name.endswith("_f32"):
-            continue  # precision ablation, not a seed draw (own section)
+        if name.endswith("_f32") or "_ga" in name:
+            continue  # precision/gradient-analysis ablations, not seed draws
         kind = "ref" if name.startswith("ref") else "ours"
         try:
             m = _phase2_of_wd(wd, kind, gt)
