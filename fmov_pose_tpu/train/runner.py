@@ -441,10 +441,23 @@ class Runner:
     # pose queries (host)
     # ------------------------------------------------------------------
     def query_pose(self, i: int) -> np.ndarray:
-        """Learned/GT c2w of frame i as numpy [4, 4]."""
-        p34 = step_mod.pose_of_frame(
-            self.step_cfg, self.state.params, self.state.pose_bank,
-            self.state.pose_static, jnp.asarray(i, jnp.int32))
+        """Learned/GT c2w of frame i as numpy [4, 4].
+
+        Jitted with the frame id traced: the eager pose_of_frame chain
+        was ~20 tunnel dispatches per call, and the shipped phase-1 conf
+        (reset_based_on_rot) queries a pose at every admission."""
+        if not hasattr(self, "_query_one"):
+            cfg = self.step_cfg
+
+            @jax.jit
+            def query_one(params, pose_bank, pose_static, idx):
+                return step_mod.pose_of_frame(cfg, params, pose_bank,
+                                              pose_static, idx)
+
+            self._query_one = query_one
+        p34 = self._query_one(self.state.params, self.state.pose_bank,
+                              self.state.pose_static,
+                              jnp.asarray(i, jnp.int32))
         out = np.eye(4, dtype=np.float32)
         out[:3] = np.asarray(p34)
         return out
