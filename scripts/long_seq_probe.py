@@ -104,10 +104,13 @@ def run(n_frames, adm_iters, plan_chunk, res):
     tmp = tempfile.mkdtemp(prefix=f"longseq{n_frames}_")
     data_dir = os.path.join(tmp, "SYN_ori")
     span = min(40.0 + 2.6 * n_frames, 340.0)
+    print(f"LONGSEQ-PROGRESS data gen start ({n_frames} frames @ {res}^2)",
+          flush=True)
     t0 = time.time()
     make_orbit_sequence(data_dir, n_frames=n_frames, H=res, W=res,
                         span_deg=span)
     t_data = time.time() - t0
+    print(f"LONGSEQ-PROGRESS data gen done in {t_data:.1f}s", flush=True)
     end_iter = adm_iters * (n_frames + 2)
     conf_path = os.path.join(tmp, "probe.conf")
     with open(conf_path, "w") as f:
@@ -120,6 +123,8 @@ def run(n_frames, adm_iters, plan_chunk, res):
     t0 = time.time()
     r = Runner(conf_path, mode="train", case="SYN_ori", has_global_conf=True)
     t_init = time.time() - t0
+    print(f"LONGSEQ-PROGRESS runner init done in {t_init:.1f}s; training "
+          f"{end_iter} iters", flush=True)
 
     timer = WindowTimer()
     orig_plan = r._plan_step
