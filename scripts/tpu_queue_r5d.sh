@@ -1,7 +1,8 @@
 #!/bin/bash
-# Round-5 queue D: chained behind queue C. TPU items serialized; the
-# ref-side GA probe (CPU) runs alongside ref_s1 nice'd (quality values
-# are contention-safe).
+# Round-5 queue D (revised): chained behind queue C. The longseq-256
+# rerun was pulled forward (ran manually in the 10:50 idle-chip window).
+# TPU items serialized; the ref-side GA probe (CPU) runs alongside
+# ref_s1 nice'd (quality values are contention-safe).
 set -u
 REPO=/root/repo
 cd "$REPO"
@@ -15,11 +16,7 @@ until [ -f /tmp/tpu_queue_r5c_done ]; do sleep 60; done
 nohup nice -n 19 bash scripts/ref_ga_probe.sh /root/hth/ref_s2 \
     > /tmp/ref_ga_probe.log 2>&1 &
 
-state "queue-d: longseq_256 rerun (with admission-compile fix)"
-timeout -k 15 5400 python scripts/long_seq_probe.py 256 120 1 192 \
-    > /tmp/longseq_256b.log 2>&1
-state "queue-d: longseq_256 rc=$? — p2_loop_probe"
-
+state "queue-d: p2_loop_probe"
 timeout -k 15 2400 python scripts/p2_loop_probe.py /tmp/fmov_pipeq_nwtoz0ft \
     1000 > /tmp/p2_loop_probe.log 2>&1
 state "queue-d: p2_loop_probe rc=$? — p2probe batch 512"
