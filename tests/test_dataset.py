@@ -152,3 +152,13 @@ def test_unknown_camera_branch(seq_dir, tmp_path):
         np.asarray(ds.intrinsics_all[0][:3, :3]), K, rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(ds.scale_mats_np[-1]), np.eye(4), atol=0)
+
+
+def test_u8_device_transfer_is_bitwise_exact(seq_dir):
+    """runner._init_device_buffers ships images/masks as uint8 and
+    expands on device; k/256 PNG data must round-trip exactly."""
+    ds = Dataset(_conf(seq_dir, wo_mask="True"))
+    for arr in (ds.images_np, ds.masks_np):
+        u8 = np.round(arr * 256.0).astype(np.uint8)
+        back = u8.astype(np.float32) / 256.0
+        assert np.array_equal(back, arr)
