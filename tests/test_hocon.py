@@ -64,48 +64,6 @@ def test_tpu_fast_presets_differ_only_by_switches():
         assert conf.get_bool("train.occupancy_sampling") is True
 
 
-def test_tpu_turbo_presets_differ_only_by_rebatch():
-    """The *_tpu_turbo.conf phase-2 presets must be the *_tpu_fast confs
-    with EXACTLY the equal-total-rays rebatch (batch x8, end_iter /8,
-    warm-up and cadences /8) — no silent model/loss/lr drift."""
-    import re
-    expected = {
-        "batch_size": ("512", "4096"),
-        "end_iter": ("150000", "18750"),
-        "warm_up_end": ("5000", "625"),
-        "save_freq": ("10000", "1250"),
-        "val_freq": ("2500", "1250"),
-        "val_mesh_freq": ("5000", "2500"),
-        "pose_freq": ("10000", "1250"),
-    }
-    for fast, turbo in (("ho3d_global_womask_tpu_fast.conf",
-                         "ho3d_global_womask_tpu_turbo.conf"),
-                        ("ml_global_womask_tpu_fast.conf",
-                         "ml_global_womask_tpu_turbo.conf")):
-        def strip(path):
-            lines = []
-            for line in open(os.path.join(REPO, "confs", path)):
-                line = re.sub(r"#.*", "", line).strip()
-                if line:
-                    lines.append(line)
-            return lines
-        fast_l, turbo_l = strip(fast), strip(turbo)
-        extra = [l for l in turbo_l if l not in fast_l]
-        missing = [l for l in fast_l if l not in turbo_l]
-        assert sorted(extra) == sorted(
-            f"{k} = {v}" for k, (_, v) in expected.items()), (turbo, extra)
-        assert sorted(missing) == sorted(
-            f"{k} = {v}" for k, (v, _) in expected.items()), (turbo, missing)
-        conf = hocon.parse_file(os.path.join(REPO, "confs", turbo),
-                                {"CASE_NAME": "X"})
-        # total rays preserved: end_iter * batch identical to shipped
-        assert (conf.get_int("train.end_iter")
-                * conf.get_int("train.batch_size")) == 150000 * 512
-        assert conf.get_bool("train.use_fused_train_kernels") is True
-        assert conf.get_bool("train.occupancy_sampling") is True
-        assert conf.get_float("train.learning_rate") == 5e-4
-
-
 def test_defaults_and_put():
     conf = hocon.parse_string("a { b = 1 }")
     assert conf.get_int("a.b") == 1
